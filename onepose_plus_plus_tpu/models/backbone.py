@@ -1,0 +1,136 @@
+"""ResNet-FPN backbone (Flax, NHWC) for grayscale images.
+
+Functional re-design of the reference torch backbone
+(``src/models/OnePosePlus/backbone/resnet.py:20-164``): same topology
+(ResNet-18-style BasicBlocks + top-down FPN with align-corners upsampling),
+NHWC layout and fused conv+BN-friendly structure for TPU. ``ResNetFPN_8_2``
+returns the 1/8 coarse (block_dims[2]-d) and 1/2 fine (block_dims[0]-d) maps.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import ResNetFPNConfig
+from ..ops.upsample import upsample2x_align_corners
+
+_KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(kernel // 2, kernel // 2)] * 2,
+        use_bias=False,
+        kernel_init=_KAIMING,
+        name=name,
+    )
+
+
+class _BN(nn.Module):
+    """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            scale_init=nn.initializers.ones,
+            bias_init=nn.initializers.zeros,
+        )(x)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _conv(self.planes, 3, self.stride, name="conv1")(x)
+        y = _BN(name="bn1")(y, train)
+        y = nn.relu(y)
+        y = _conv(self.planes, 3, name="conv2")(y)
+        y = _BN(name="bn2")(y, train)
+        if self.stride != 1:
+            x = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
+            x = _BN(name="downsample_bn")(x, train)
+        return nn.relu(x + y)
+
+
+class BottleneckBlock(nn.Module):
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _conv(self.planes // 4, 1, name="conv1")(x)
+        y = nn.relu(_BN(name="bn1")(y, train))
+        y = _conv(self.planes // 4, 3, self.stride, name="conv2")(y)
+        y = nn.relu(_BN(name="bn2")(y, train))
+        y = _conv(self.planes, 1, name="conv3")(y)
+        y = _BN(name="bn3")(y, train)
+        if self.stride != 1:
+            x = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
+            x = _BN(name="downsample_bn")(x, train)
+        return nn.relu(x + y)
+
+
+_BLOCKS = {"basic": BasicBlock, "bottleneck": BottleneckBlock}
+
+
+class _OutConv2(nn.Module):
+    """FPN lateral refinement: conv3x3 -> BN -> LeakyReLU -> conv3x3."""
+
+    mid: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _conv(self.mid, 3, name="conv1")(x)
+        x = _BN(name="bn")(x, train)
+        x = nn.leaky_relu(x, negative_slope=0.01)
+        return _conv(self.out, 3, name="conv2")(x)
+
+
+class ResNetFPN_8_2(nn.Module):
+    """ResNet + FPN, coarse 1/8 and fine 1/2 outputs.
+
+    Input [N, H, W, 1] grayscale; returns (coarse [N, H/8, W/8, block_dims[2]],
+    fine [N, H/2, W/2, block_dims[0]]).
+    """
+
+    cfg: ResNetFPNConfig = ResNetFPNConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        block = _BLOCKS[self.cfg.block_type]
+        d0, d1, d2 = self.cfg.block_dims
+
+        x0 = _conv(self.cfg.initial_dim, 7, 2, name="conv1")(x)
+        x0 = nn.relu(_BN(name="bn1")(x0, train))  # 1/2
+
+        def layer(planes, stride, name, h):
+            h = block(planes, stride, name=f"{name}_0")(h, train)
+            return block(planes, 1, name=f"{name}_1")(h, train)
+
+        x1 = layer(d0, 1, "layer1", x0)  # 1/2
+        x2 = layer(d1, 2, "layer2", x1)  # 1/4
+        x3 = layer(d2, 2, "layer3", x2)  # 1/8
+
+        # FPN top-down
+        x3_out = _conv(d2, 1, name="layer3_outconv")(x3)
+
+        x3_up = upsample2x_align_corners(x3_out)
+        x2_out = _conv(d2, 1, name="layer2_outconv")(x2)
+        x2_out = _OutConv2(d2, d1, name="layer2_outconv2")(x2_out + x3_up, train)
+
+        x2_up = upsample2x_align_corners(x2_out)
+        x1_out = _conv(d1, 1, name="layer1_outconv")(x1)
+        x1_out = _OutConv2(d1, d0, name="layer1_outconv2")(x1_out + x2_up, train)
+
+        return x3_out, x1_out

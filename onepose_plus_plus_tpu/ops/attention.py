@@ -1,0 +1,81 @@
+"""Attention primitives for the LoFTR-style transformers.
+
+Linear (O(L+S)) attention with the elu+1 feature map — the reference's core
+sequence-scaling mechanism (reference
+``src/models/OnePosePlus/loftr_module/linear_attention.py:21-61``) — expressed
+as three einsum contractions that XLA maps directly onto the MXU. A fused
+Pallas variant lives in ``onepose_plus_plus_tpu.ops.pallas``.
+
+Shapes follow [N, seq, heads, head_dim] throughout.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _elu_feature_map(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.elu(x) + 1.0
+
+
+def linear_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_mask: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Linear attention ("Transformers are RNNs", Katharopoulos et al.).
+
+    Args:
+        q: [N, L, H, D] queries.
+        k, v: [N, S, H, D] keys / values.
+        q_mask: optional [N, L] validity mask.
+        kv_mask: optional [N, S] validity mask.
+    Returns:
+        [N, L, H, D] attended values.
+
+    Matches the reference math exactly, including the 1/S value pre-scaling
+    (an fp16-overflow guard in the reference; harmless in fp32/bf16 and kept
+    for bit-parity with released checkpoints).
+    """
+    Q = _elu_feature_map(q)
+    K = _elu_feature_map(k)
+    if q_mask is not None:
+        Q = Q * q_mask[:, :, None, None].astype(Q.dtype)
+    if kv_mask is not None:
+        K = K * kv_mask[:, :, None, None].astype(K.dtype)
+        v = v * kv_mask[:, :, None, None].astype(v.dtype)
+
+    v_length = v.shape[1]
+    v_scaled = v / v_length
+    # KV: [N, H, D, D_v] — one matmul per head, MXU-friendly.
+    KV = jnp.einsum("nshd,nshv->nhdv", K, v_scaled)
+    # Normalizer Z: [N, L, H]
+    K_sum = jnp.sum(K, axis=1)  # [N, H, D]
+    Z = 1.0 / (jnp.einsum("nlhd,nhd->nlh", Q, K_sum) + eps)
+    out = jnp.einsum("nlhd,nhdv->nlhv", Q, KV) * Z[..., None] * v_length
+    return out
+
+
+def full_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_mask: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Standard softmax attention fallback ([N, L, H, D] x [N, S, H, D]).
+
+    Mirrors reference ``FullAttention.forward`` (``linear_attention.py:64-95``).
+    """
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    logits = jnp.einsum("nlhd,nshd->nlsh", q, k)
+    if kv_mask is not None:
+        mask = q_mask[:, :, None, None].astype(bool) & kv_mask[:, None, :, None].astype(bool)
+        logits = jnp.where(mask, logits, -jnp.inf)
+    attn = jax.nn.softmax(scale * logits, axis=2)
+    return jnp.einsum("nlsh,nshd->nlhd", attn, v)

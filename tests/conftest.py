@@ -1,0 +1,16 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+The environment pre-imports jax bound to the TPU (sitecustomize); tests must
+run on a virtual 8-device CPU mesh instead (SURVEY.md §4 test strategy), so we
+re-point the platform via jax.config before any backend is initialized.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,88 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onepose_plus_plus_tpu.ops.matching import (
+    dual_softmax_confidence,
+    select_topk_matches,
+    pad_matches_with_gt,
+)
+
+
+def _softmax(x, axis):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def test_dual_softmax_matches_reference_math():
+    rng = np.random.RandomState(0)
+    f0 = rng.randn(2, 6, 16).astype(np.float32)
+    f1 = rng.randn(2, 8, 16).astype(np.float32)
+    conf = np.asarray(
+        dual_softmax_confidence(jnp.asarray(f0), jnp.asarray(f1), temperature=0.08)
+    )
+    sim = np.einsum("nlc,nsc->nls", f0 / 4.0, f1 / 4.0) / (0.08 + 1e-4)
+    ref = _softmax(sim, 1) * _softmax(sim, 2)
+    np.testing.assert_allclose(conf, ref, atol=1e-5)
+
+
+def test_select_topk_finds_planted_matches():
+    # plant strong mutual matches away from borders on a 4x4 grid (S=16)
+    L, h, w = 10, 4, 4
+    conf = np.full((1, L, h * w), 1e-4, np.float32)
+    planted = [(0, 2 * w + 2), (3, 3 * w + 3), (7, 2 * w + 3)]
+    for i, j in planted:
+        conf[0, i, j] = 0.9
+    m = select_topk_matches(jnp.asarray(conf), (h, w), thr=0.1, border_rm=2, k=5)
+    got = {(int(i), int(j)) for i, j, ok in zip(m.i_ids[0], m.j_ids[0], m.mask[0]) if ok}
+    assert got == set(planted)
+    assert int(m.mask.sum()) == 3
+    # confidences propagated
+    assert np.allclose(np.sort(np.asarray(m.mconf[0])[np.asarray(m.mask[0])]), [0.9] * 3)
+
+
+def test_select_topk_border_quirk_one_sided():
+    # reference 2D-3D matcher masks only top/left borders (empty -b:0 slices)
+    h, w = 4, 4
+    conf = np.full((1, 2, h * w), 1e-4, np.float32)
+    conf[0, 0, 1 * w + 1] = 0.9  # inside removed top/left border (row 1 < 2)
+    conf[0, 1, 3 * w + 3] = 0.9  # bottom-right corner — kept by the quirk
+    m = select_topk_matches(jnp.asarray(conf), (h, w), 0.1, 2, 4, border_two_sided=False)
+    got = {(int(i), int(j)) for i, j, ok in zip(m.i_ids[0], m.j_ids[0], m.mask[0]) if ok}
+    assert got == {(1, 3 * w + 3)}
+    # two-sided (LoFTR pair matcher) removes it as well
+    m2 = select_topk_matches(jnp.asarray(conf), (h, w), 0.1, 2, 4, border_two_sided=True)
+    assert int(m2.mask.sum()) == 0
+
+
+def test_select_topk_respects_mutual_nn():
+    h, w = 3, 3
+    conf = np.full((1, 3, 9), 1e-4, np.float32)
+    # rows 0 and 1 both peak at column 8, but row 0 is larger -> only row 0 kept
+    conf[0, 0, 8] = 0.9
+    conf[0, 1, 8] = 0.8
+    m = select_topk_matches(jnp.asarray(conf), (h, w), 0.1, 0, 3)
+    got = {(int(i), int(j)) for i, j, ok in zip(m.i_ids[0], m.j_ids[0], m.mask[0]) if ok}
+    assert got == {(0, 8)}
+
+
+def test_pad_matches_with_gt():
+    h, w = 4, 4
+    L = 6
+    conf = np.full((1, L, h * w), 1e-4, np.float32)
+    conf[0, 2, 2 * w + 2] = 0.9
+    m = select_topk_matches(jnp.asarray(conf), (h, w), 0.1, 2, k=4)
+    conf_gt = np.zeros((1, L, h * w), np.float32)
+    conf_gt[0, 1, 5] = 1.0
+    conf_gt[0, 4, 7] = 1.0
+    padded = pad_matches_with_gt(m, jnp.asarray(conf_gt), jax.random.PRNGKey(0), num_gt_min=3)
+    assert padded.i_ids.shape == (1, 7)
+    # GT slots: mask True, mconf == 0, (i, j) drawn from GT entries
+    gt_i = np.asarray(padded.i_ids[0, 4:])
+    gt_j = np.asarray(padded.j_ids[0, 4:])
+    assert np.all(np.asarray(padded.mask[0, 4:]))
+    assert np.all(np.asarray(padded.mconf[0, 4:]) == 0)
+    for i, j in zip(gt_i, gt_j):
+        assert conf_gt[0, i, j] == 1.0
+    # both GT rows appear (3 slots from 2 rows -> with wraparound both present)
+    assert {1, 4} == set(gt_i.tolist()) | ({1, 4} & set(gt_i.tolist()))
