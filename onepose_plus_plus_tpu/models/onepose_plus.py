@@ -119,7 +119,7 @@ class OnePosePlusModel(nn.Module):
         if train:
             matches = pad_matches_with_gt(
                 matches,
-                batch["conf_matrix_gt"],
+                batch["gt_cell"],
                 self.make_rng("matching"),
                 cfg.coarse_matching.train_pad_num_gt_min,
             )

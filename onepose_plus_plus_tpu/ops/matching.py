@@ -130,7 +130,7 @@ def select_topk_matches(
 
 def pad_matches_with_gt(
     matches: CoarseMatches,
-    conf_gt: jnp.ndarray,
+    gt_cell: jnp.ndarray,
     rng: jax.Array,
     num_gt_min: int,
 ) -> CoarseMatches:
@@ -148,7 +148,8 @@ def pad_matches_with_gt(
 
     Args:
         matches: prediction slots from ``select_topk_matches`` (K slots).
-        conf_gt: [N, L, S] {0,1} GT assignment (at most one column per row).
+        gt_cell: [N, L] int — GT column for each row (-1 = no GT match).
+            Sparse equivalent of the reference's dense ``conf_matrix_gt``.
         rng: PRNG key.
         num_gt_min: number of GT slots to append.
     """
@@ -158,8 +159,8 @@ def pad_matches_with_gt(
     pred_conf, pred_mask = matches.mconf, matches.mask
 
     # --- sample GT rows for the tail slots --------------------------------
-    gt_row_valid = jnp.any(conf_gt > 0, axis=2)  # [N, L]
-    gt_j_of_row = jnp.argmax(conf_gt, axis=2)  # [N, L]
+    gt_row_valid = gt_cell >= 0  # [N, L]
+    gt_j_of_row = jnp.maximum(gt_cell, 0)  # [N, L]
     # Gumbel-top-k over rows ~ sampling without replacement proportional to mask
     g = jax.random.gumbel(rng_gt, gt_row_valid.shape)
     gt_scores = jnp.where(gt_row_valid, g, -jnp.inf)

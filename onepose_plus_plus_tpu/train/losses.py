@@ -1,0 +1,185 @@
+"""Training losses for the 2D-3D matcher (focal coarse + std-weighted fine L2).
+
+Behavioral port of reference ``src/lightning_model/losses.py:7-142`` and
+``src/models/OnePosePlus/utils/fine_supervision.py:4-31`` — redesigned for
+static shapes:
+
+* GT is carried sparsely as ``gt_cell [N, L]`` (coarse grid cell of each 3D
+  point, -1 = unmatched) and ``gt_fine_xy [N, L, 2]`` (exact projected pixel)
+  instead of the reference's dense ``conf_matrix_gt [L, S]`` /
+  ``fine_location_matrix_gt [L, S, 2]`` tensors; the dense semantics are
+  recovered on device with index comparisons that XLA fuses into the loss.
+* Matches live in K static slots with validity masks; data-dependent boolean
+  indexing (``conf[conf_gt == 1]``) becomes masked reductions.
+* The reference's "assign a false supervision to avoid ddp deadlock"
+  (``losses.py:89-91``) is unnecessary: masked sums always produce defined
+  gradients on every device, so SPMD never deadlocks.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    coarse_type: str = "focal"
+    focal_alpha: float = 0.5
+    focal_gamma: float = 2.0
+    pos_weight: float = 1.0
+    neg_weight: float = 1.0
+    coarse_weight: float = 1.0
+    fine_type: str = "l2_with_std"
+    # reference autoscale: 0.25 * (window_size / 5) ** 2 (train_onepose_plus.py:41)
+    fine_weight: float = 0.25
+    fine_correct_thr: float = 1.0
+
+
+def coarse_focal_loss(
+    conf: jnp.ndarray,
+    gt_cell: jnp.ndarray,
+    cfg: LossConfig,
+    c_weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Focal BCE on the dual-softmax confidence matrix vs {0,1} GT.
+
+    Args:
+        conf: [N, L, S] dual-softmax confidence.
+        gt_cell: [N, L] int32 — GT coarse cell for each 3D point, -1 if none.
+        c_weight: optional [N, L, S] padding weight (reference ``compute_c_weight``).
+
+    Reference semantics (``losses.py:18-56``): mean of weighted focal terms
+    over positive entries plus over negative entries, each normalized by the
+    *count* of entries in that class (weights scale the numerator only).
+    """
+    assert cfg.coarse_type == "focal", cfg.coarse_type
+    n, l, s = conf.shape
+    conf = jnp.clip(conf, 1e-6, 1.0 - 1e-6)
+    cell_ids = jnp.arange(s, dtype=gt_cell.dtype)[None, None, :]
+    pos = gt_cell[:, :, None] == cell_ids  # [N, L, S] bool
+    alpha, gamma = cfg.focal_alpha, cfg.focal_gamma
+
+    loss_pos = -alpha * (1.0 - conf) ** gamma * jnp.log(conf)
+    loss_neg = -(1.0 - alpha) * conf**gamma * jnp.log(1.0 - conf)
+    if c_weight is not None:
+        loss_pos = loss_pos * c_weight
+        loss_neg = loss_neg * c_weight
+
+    n_pos = jnp.sum(pos)
+    n_neg = pos.size - n_pos
+    pos_f = pos.astype(conf.dtype)
+    mean_pos = jnp.sum(loss_pos * pos_f) / jnp.maximum(n_pos, 1)
+    mean_neg = jnp.sum(loss_neg * (1.0 - pos_f)) / jnp.maximum(n_neg, 1)
+    return cfg.pos_weight * mean_pos + cfg.neg_weight * mean_neg
+
+
+def fine_supervision(
+    i_ids: jnp.ndarray,
+    j_ids: jnp.ndarray,
+    gt_cell: jnp.ndarray,
+    gt_fine_xy: jnp.ndarray,
+    hw_c: Tuple[int, int],
+    coarse_scale: float,
+    fine_scale: float,
+    window_size: int,
+    query_image_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """GT fine offsets ``expec_f_gt [N, K, 2]`` at the predicted coarse matches.
+
+    Port of ``fine_supervision.py:4-31``: the GT fine location of 3D point i is
+    looked up at the *predicted* (i, j); a prediction in the wrong coarse cell
+    reads location 0 (dense-matrix semantics), yielding an out-of-window offset
+    that the loss's correct_mask filters out.
+    """
+    radius = window_size // 2
+    w_c = hw_c[1]
+    cs = jnp.asarray(coarse_scale, jnp.float32)
+    fs = jnp.asarray(fine_scale, jnp.float32)
+    if query_image_scale is not None:
+        # [N, 2] (h_scale, w_scale) -> per-sample (x, y) scale
+        sc = query_image_scale[:, None, ::-1]
+        cs = cs * sc
+        fs = fs * sc
+    mkpts_query = (
+        jnp.stack([j_ids % w_c, j_ids // w_c], axis=-1).astype(jnp.float32) * cs
+    )  # [N, K, 2]
+    gt_xy = jnp.take_along_axis(gt_fine_xy, i_ids[..., None], axis=1)  # [N, K, 2]
+    gt_j = jnp.take_along_axis(gt_cell, i_ids, axis=1)  # [N, K]
+    hit = (gt_j == j_ids) & (gt_j >= 0)
+    gt_xy = jnp.where(hit[..., None], gt_xy, 0.0)
+    return (gt_xy - mkpts_query) / fs / radius
+
+
+def fine_l2_std_loss(
+    expec_f: jnp.ndarray,
+    expec_f_gt: jnp.ndarray,
+    slot_mask: jnp.ndarray,
+    cfg: LossConfig,
+) -> jnp.ndarray:
+    """Std-weighted L2 on normalized fine offsets (``losses.py:66-103``).
+
+    Args:
+        expec_f: [N, K, 3] (x, y, std) predictions.
+        expec_f_gt: [N, K, 2] normalized GT offsets.
+        slot_mask: [N, K] bool match-slot validity.
+    """
+    x = expec_f.reshape(-1, 3)
+    gt = expec_f_gt.reshape(-1, 2)
+    m = slot_mask.reshape(-1)
+
+    correct = (jnp.max(jnp.abs(gt), axis=1) < cfg.fine_correct_thr) & m
+    inv_std = 1.0 / jnp.clip(x[:, 2], 1e-10, None)
+    # reference normalizes by the mean inverse std over all matches (detached)
+    denom = jnp.maximum(jnp.sum(m), 1)
+    mean_inv = jnp.sum(jnp.where(m, inv_std, 0.0)) / denom
+    weight = jax.lax.stop_gradient(inv_std / jnp.maximum(mean_inv, 1e-10))
+
+    offset_l2 = jnp.sum((gt - x[:, :2]) ** 2, axis=1)
+    n_correct = jnp.sum(correct)
+    loss = jnp.sum(jnp.where(correct, offset_l2 * weight, 0.0)) / jnp.maximum(
+        n_correct, 1
+    )
+    return loss
+
+
+def compute_losses(
+    out: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    cfg: LossConfig,
+    window_size: int,
+    coarse_scale: float = 8.0,
+    fine_scale: float = 2.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total loss + scalars from model outputs and a training batch.
+
+    Expects ``out`` from ``OnePosePlusModel.__call__(train=True)`` and batch
+    keys ``gt_cell`` [N, L], ``gt_fine_xy`` [N, L, 2]; optional
+    ``query_image_scale``.
+    """
+    loss_c = coarse_focal_loss(
+        out["conf_matrix"], batch["gt_cell"], cfg, c_weight=batch.get("c_weight")
+    )
+    loss = loss_c * cfg.coarse_weight
+    scalars = {"loss_c": loss_c}
+    if "expec_f" in out:
+        expec_f_gt = fine_supervision(
+            out["i_ids"],
+            out["j_ids"],
+            batch["gt_cell"],
+            batch["gt_fine_xy"],
+            out["hw_c"],
+            coarse_scale,
+            fine_scale,
+            window_size,
+            batch.get("query_image_scale"),
+        )
+        loss_f = fine_l2_std_loss(
+            out["expec_f"], expec_f_gt, out["match_mask"], cfg
+        )
+        loss = loss + loss_f * cfg.fine_weight
+        scalars["loss_f"] = loss_f
+    scalars["loss"] = loss
+    return loss, scalars

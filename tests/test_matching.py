@@ -75,7 +75,10 @@ def test_pad_matches_with_gt():
     conf_gt = np.zeros((1, L, h * w), np.float32)
     conf_gt[0, 1, 5] = 1.0
     conf_gt[0, 4, 7] = 1.0
-    padded = pad_matches_with_gt(m, jnp.asarray(conf_gt), jax.random.PRNGKey(0), num_gt_min=3)
+    gt_cell = np.full((1, L), -1, np.int32)
+    gt_cell[0, 1] = 5
+    gt_cell[0, 4] = 7
+    padded = pad_matches_with_gt(m, jnp.asarray(gt_cell), jax.random.PRNGKey(0), num_gt_min=3)
     assert padded.i_ids.shape == (1, 7)
     # GT slots: mask True, mconf == 0, (i, j) drawn from GT entries
     gt_i = np.asarray(padded.i_ids[0, 4:])

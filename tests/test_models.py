@@ -75,10 +75,10 @@ def test_onepose_plus_forward_jit_and_vmapable(o3d_setup):
 def test_onepose_plus_train_mode_gt_padding(o3d_setup):
     cfg, model, variables, batch = o3d_setup
     n, L, S = 2, 24, 64
-    conf_gt = np.zeros((n, L, S), np.float32)
-    conf_gt[:, 3, 30] = 1.0
-    conf_gt[:, 5, 35] = 1.0
-    tb = dict(batch, conf_matrix_gt=jnp.asarray(conf_gt))
+    gt_cell = np.full((n, L), -1, np.int32)
+    gt_cell[:, 3] = 30
+    gt_cell[:, 5] = 35
+    tb = dict(batch, gt_cell=jnp.asarray(gt_cell))
     out, _ = model.apply(
         variables,
         tb,
