@@ -1,0 +1,236 @@
+"""Batched RANSAC Perspective-n-Point with Gauss-Newton refinement (JAX).
+
+TPU-native replacement for the reference's native PnP backends:
+``pycolmap.absolute_pose_estimation`` (C++ RANSAC + nonlinear refine,
+reference ``src/utils/metric_utils.py:130-170``) and
+``cv2.solvePnPRansac`` EPnP (``metric_utils.py:181-189``, 10000 iters,
+reprojection threshold per dataset, 3D points scaled x1000).
+
+Design (SURVEY.md §2.4): a fixed count of minimal-sample hypotheses is solved
+in parallel (vmapped finite P3P via Lambda-Twist-style quadratic elimination is
+replaced by a simpler, equally batched approach: each hypothesis fits a pose
+from 6 correspondences with a DLT + orthogonalization, which is exact for
+noise-free samples and robust under RANSAC scoring), inliers are counted for
+every hypothesis against every correspondence in one [H, N] pass, and the best
+hypothesis is polished with fixed-iteration Gauss-Newton on its inliers.
+Everything is static-shape: masks thread validity, `lax` loops are unrolled by
+XLA, and hundreds of frames solve per device step when vmapped over the batch.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rotations import angle_axis_to_matrix
+
+_EPS = 1e-9
+
+
+class PnPResult(NamedTuple):
+    R: jnp.ndarray  # [..., 3, 3] world->cam rotation
+    t: jnp.ndarray  # [..., 3]
+    inliers: jnp.ndarray  # [..., N] bool
+    num_inliers: jnp.ndarray  # [...] int32
+    ok: jnp.ndarray  # [...] bool — solution valid
+
+
+def _orthogonalize(M: jnp.ndarray) -> jnp.ndarray:
+    """Project a 3x3 matrix onto SO(3) via SVD (batched)."""
+    u, _, vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(u @ vt)
+    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    return u @ (d[..., :, None] * vt)
+
+
+def _fit_pose_dlt(pts3d: jnp.ndarray, pts2dn: jnp.ndarray) -> tuple:
+    """Fit [R|t] from >=6 2D-3D correspondences by DLT on normalized coords.
+
+    Args:
+        pts3d: [S, 3] world points; pts2dn: [S, 2] normalized image coords.
+    Returns:
+        (R [3,3], t [3]).
+    """
+    s = pts3d.shape[0]
+    X = jnp.concatenate([pts3d, jnp.ones((s, 1), pts3d.dtype)], axis=-1)  # [S,4]
+    zeros = jnp.zeros_like(X)
+    u = pts2dn[:, 0:1]
+    v = pts2dn[:, 1:2]
+    # Rows: [X 0 -u*X ; 0 X -v*X] for P = [R|t] (3x4), x ~ P X.
+    r0 = jnp.concatenate([X, zeros, -u * X], axis=-1)  # [S, 12]
+    r1 = jnp.concatenate([zeros, X, -v * X], axis=-1)
+    A = jnp.concatenate([r0, r1], axis=0)  # [2S, 12]
+    AtA = A.T @ A
+    _, vecs = jnp.linalg.eigh(AtA)
+    p = vecs[:, 0].reshape(3, 4)
+    # Fix scale & sign: rows of R must be unit; depth of points positive.
+    scale = jnp.cbrt(jnp.abs(jnp.linalg.det(p[:, :3])) + _EPS)
+    p = p / (scale + _EPS)
+    depth = pts3d @ p[2, :3] + p[2, 3]
+    sign = jnp.where(jnp.sum(jnp.sign(depth)) >= 0, 1.0, -1.0)
+    p = p * sign
+    R = _orthogonalize(p[:, :3])
+    t = p[:, 3]
+    return R, t
+
+
+def _reproj_errors(
+    R: jnp.ndarray, t: jnp.ndarray, pts3d: jnp.ndarray, pts2dn: jnp.ndarray
+) -> jnp.ndarray:
+    """Squared reprojection error in normalized coords: [..., N]."""
+    pc = pts3d @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    uv = pc[..., :2] / jnp.where(
+        jnp.abs(pc[..., 2:3]) < _EPS, _EPS, pc[..., 2:3]
+    )
+    err = jnp.sum((uv - pts2dn) ** 2, axis=-1)
+    # behind-camera observations can never be inliers
+    return jnp.where(pc[..., 2] > _EPS, err, jnp.inf)
+
+
+def _gauss_newton_refine(
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    pts3d: jnp.ndarray,
+    pts2dn: jnp.ndarray,
+    weights: jnp.ndarray,
+    iters: int = 10,
+):
+    """Fixed-iteration damped GN on se(3) (aa increment) minimizing weighted
+    reprojection error in normalized coordinates."""
+
+    def residual(params, R_base):
+        aa, t = params[:3], params[3:]
+        R = angle_axis_to_matrix(aa) @ R_base
+        pc = pts3d @ R.T + t
+        z = jnp.where(jnp.abs(pc[..., 2:3]) < _EPS, _EPS, pc[..., 2:3])
+        uv = pc[..., :2] / z
+        r = (uv - pts2dn) * weights[:, None]
+        return r.reshape(-1)
+
+    def body(_, carry):
+        R_base, t = carry
+        params = jnp.concatenate([jnp.zeros(3, R_base.dtype), t])
+        J = jax.jacfwd(residual)(params, R_base)  # [2N, 6]
+        r = residual(params, R_base)
+        JtJ = J.T @ J + 1e-6 * jnp.eye(6, dtype=J.dtype)
+        g = J.T @ r
+        delta = -jnp.linalg.solve(JtJ, g)
+        new_R = angle_axis_to_matrix(delta[:3]) @ R_base
+        new_t = t + delta[3:]
+        # keep update only if residual decreased (cheap trust region)
+        new_params = jnp.concatenate([jnp.zeros(3, R_base.dtype), new_t])
+        improved = jnp.sum(residual(new_params, new_R) ** 2) <= jnp.sum(r**2)
+        R_out = jnp.where(improved, new_R, R_base)
+        t_out = jnp.where(improved, new_t, t)
+        return R_out, t_out
+
+    R, t = jax.lax.fori_loop(0, iters, body, (R0, t0))
+    return R, t
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_hypotheses", "sample_size", "refine_iters"),
+)
+def ransac_pnp(
+    pts3d: jnp.ndarray,
+    pts2d: jnp.ndarray,
+    K: jnp.ndarray,
+    valid: jnp.ndarray,
+    rng: jax.Array,
+    reproj_threshold_px: float = 3.3,
+    num_hypotheses: int = 512,
+    sample_size: int = 6,
+    refine_iters: int = 10,
+) -> PnPResult:
+    """RANSAC PnP for one frame with fixed-capacity correspondences.
+
+    Mirrors reference ``ransac_PnP`` (``metric_utils.py:121-204``) semantics:
+    pixel-space reprojection threshold, best-hypothesis-by-inlier-count, final
+    nonlinear refinement on inliers. vmap over frames for batch solving.
+
+    Args:
+        pts3d: [N, 3] object points (world frame).
+        pts2d: [N, 2] pixel observations.
+        K: [3, 3] intrinsics.
+        valid: [N] bool mask of real (non-padded) correspondences.
+        rng: PRNG key for hypothesis sampling.
+        reproj_threshold_px: inlier threshold in pixels.
+    Returns:
+        PnPResult with world->cam (R, t).
+    """
+    n = pts3d.shape[0]
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    pts2dn = jnp.stack(
+        [(pts2d[:, 0] - cx) / fx, (pts2d[:, 1] - cy) / fy], axis=-1
+    )
+    # normalized-coords threshold (use mean focal for anisotropic K)
+    f_mean = 0.5 * (fx + fy)
+    thr2 = (reproj_threshold_px / f_mean) ** 2
+
+    # --- hypothesis sampling: weighted-by-validity without dynamic shapes.
+    # Gumbel-top-k over valid slots gives distinct samples per hypothesis.
+    g = jax.random.gumbel(rng, (num_hypotheses, n))
+    scores = jnp.where(valid[None, :], g, -jnp.inf)
+    _, sample_idx = jax.lax.top_k(scores, sample_size)  # [H, S]
+
+    samp3d = pts3d[sample_idx]  # [H, S, 3]
+    samp2dn = pts2dn[sample_idx]  # [H, S, 2]
+
+    fit = jax.vmap(_fit_pose_dlt)
+    Rh, th = fit(samp3d, samp2dn)  # [H, 3, 3], [H, 3]
+
+    errs = _reproj_errors(Rh, th, pts3d[None], pts2dn[None])  # [H, N]
+    inl = (errs <= thr2) & valid[None, :]
+    counts = jnp.sum(inl, axis=-1)
+    # guard NaN poses
+    finite = jnp.all(jnp.isfinite(Rh), axis=(-2, -1)) & jnp.all(
+        jnp.isfinite(th), axis=-1
+    )
+    counts = jnp.where(finite, counts, -1)
+    best = jnp.argmax(counts)
+
+    R_best, t_best = Rh[best], th[best]
+    inl_best = inl[best]
+    w = inl_best.astype(pts3d.dtype)
+    R_ref, t_ref = _gauss_newton_refine(
+        R_best, t_best, pts3d, pts2dn, w, iters=refine_iters
+    )
+    # recount inliers after refinement
+    errs_ref = _reproj_errors(R_ref, t_ref, pts3d, pts2dn)
+    inl_ref = (errs_ref <= thr2) & valid
+    num = jnp.sum(inl_ref).astype(jnp.int32)
+    ok = (num >= sample_size) & jnp.all(jnp.isfinite(R_ref)) & jnp.all(
+        jnp.isfinite(t_ref)
+    )
+    identity = jnp.eye(3, dtype=pts3d.dtype)
+    R_out = jnp.where(ok, R_ref, identity)
+    t_out = jnp.where(ok, t_ref, jnp.zeros(3, pts3d.dtype))
+    return PnPResult(R=R_out, t=t_out, inliers=inl_ref, num_inliers=num, ok=ok)
+
+
+def ransac_pnp_batch(
+    pts3d: jnp.ndarray,
+    pts2d: jnp.ndarray,
+    K: jnp.ndarray,
+    valid: jnp.ndarray,
+    rng: jax.Array,
+    reproj_threshold_px: float = 3.3,
+    num_hypotheses: int = 512,
+) -> PnPResult:
+    """vmapped RANSAC PnP over a frame batch: [B, N, ...] -> batched PnPResult."""
+    keys = jax.random.split(rng, pts3d.shape[0])
+    return jax.vmap(
+        lambda p3, p2, k, v, key: ransac_pnp(
+            p3,
+            p2,
+            k,
+            v,
+            key,
+            reproj_threshold_px=reproj_threshold_px,
+            num_hypotheses=num_hypotheses,
+        )
+    )(pts3d, pts2d, K, valid, keys)

@@ -64,26 +64,21 @@ def angle_axis_rotate_point(aa: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
 
 
 def matrix_to_angle_axis(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix [..., 3, 3] -> angle-axis [..., 3] (log map)."""
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
-    theta = jnp.arccos(cos_theta)
-    # axis from skew part
-    v = jnp.stack(
-        [
-            R[..., 2, 1] - R[..., 1, 2],
-            R[..., 0, 2] - R[..., 2, 0],
-            R[..., 1, 0] - R[..., 0, 1],
-        ],
-        axis=-1,
-    )
-    sin_theta = jnp.sin(theta)
-    scale = jnp.where(
-        jnp.abs(sin_theta) < 1e-6,
-        0.5 + (theta * theta) / 12.0,  # Taylor of theta / (2 sin theta)
-        theta / (2.0 * sin_theta + _EPS),
-    )
-    return v * scale[..., None]
+    """Rotation matrix [..., 3, 3] -> angle-axis [..., 3] (log map).
+
+    Goes through the quaternion (Shepperd construction below) so the map is
+    robust at BOTH log-map degeneracies: theta ~ 0 and theta ~ pi (a direct
+    skew-part extraction loses the axis at pi, which bites real look-at
+    cameras facing backwards).
+    """
+    q = matrix_to_qvec(R)  # w >= 0 canonical
+    w = q[..., 0]
+    xyz = q[..., 1:]
+    norm = jnp.linalg.norm(xyz, axis=-1)
+    theta = 2.0 * jnp.arctan2(norm, w)
+    # theta / norm with limit 2/w as norm -> 0
+    scale = jnp.where(norm < 1e-9, 2.0 / jnp.maximum(w, _EPS), theta / (norm + _EPS))
+    return xyz * scale[..., None]
 
 
 def qvec_to_matrix(qvec: jnp.ndarray) -> jnp.ndarray:

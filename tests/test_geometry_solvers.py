@@ -1,0 +1,289 @@
+"""Synthetic-geometry tests for the COLMAP/DeepLM/pycolmap replacements:
+epipolar verification, DLT triangulation, RANSAC-PnP, LM solvers."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onepose_plus_plus_tpu.geometry import (
+    angle_axis_to_matrix,
+    depth_residual_track,
+    epipolar_error,
+    first_order_solve,
+    fundamental_from_poses,
+    lm_solve,
+    lm_solve_scalar,
+    matrix_to_angle_axis,
+    ransac_pnp,
+    ransac_pnp_batch,
+    triangulate_and_filter,
+    triangulate_two_view,
+    verify_matches,
+)
+
+
+def make_scene(rng, n_views=4, n_pts=64, img=512.0):
+    """Cameras on a ring looking at points near the origin."""
+    K = np.array([[500.0, 0, img / 2], [0, 500.0, img / 2], [0, 0, 1.0]])
+    pts = rng.uniform(-0.3, 0.3, (n_pts, 3))
+    Ts = []
+    for i in range(n_views):
+        ang = 2 * np.pi * i / max(n_views, 8)
+        center = np.array([2.0 * np.sin(ang), 0.3 * rng.standard_normal(), 2.0 * np.cos(ang)])
+        # look-at rotation: z axis towards origin
+        z = -center / np.linalg.norm(center)
+        x = np.cross(np.array([0.0, 1.0, 0.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R_wc = np.stack([x, y, z], axis=1)  # cam axes in world
+        R = R_wc.T  # world->cam
+        t = -R @ center
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        Ts.append(T)
+    return K, pts, np.stack(Ts)
+
+
+def project_np(K, T, pts):
+    pc = pts @ T[:3, :3].T + T[:3, 3]
+    uv = pc[:, :2] / pc[:, 2:3]
+    return uv @ K[:2, :2].T + K[:2, 2], pc[:, 2]
+
+
+class TestEpipolar:
+    def test_fundamental_annihilates_true_matches(self):
+        rng = np.random.default_rng(0)
+        K, pts, Ts = make_scene(rng)
+        uv0, _ = project_np(K, Ts[0], pts)
+        uv1, _ = project_np(K, Ts[1], pts)
+        F = fundamental_from_poses(
+            jnp.asarray(K), jnp.asarray(K), jnp.asarray(Ts[0]), jnp.asarray(Ts[1])
+        )
+        err = epipolar_error(F, jnp.asarray(uv0), jnp.asarray(uv1))
+        assert float(jnp.max(err)) < 1e-3
+
+    def test_verify_matches_rejects_outliers(self):
+        rng = np.random.default_rng(1)
+        K, pts, Ts = make_scene(rng)
+        uv0, _ = project_np(K, Ts[0], pts)
+        uv1, _ = project_np(K, Ts[1], pts)
+        uv1_bad = uv1.copy()
+        uv1_bad[::4] += rng.uniform(30, 60, (len(uv1[::4]), 2))
+        valid = np.ones(len(pts), bool)
+        inl = verify_matches(
+            jnp.asarray(K)[None],
+            jnp.asarray(K)[None],
+            jnp.asarray(Ts[0])[None],
+            jnp.asarray(Ts[1])[None],
+            jnp.asarray(uv0)[None],
+            jnp.asarray(uv1_bad)[None],
+            jnp.asarray(valid)[None],
+            max_error_px=4.0,
+        )[0]
+        inl = np.asarray(inl)
+        assert inl[1::4].all() or inl[1:].reshape(-1)[~np.arange(len(pts) - 1) % 4 == 0].any()
+        # every corrupted index rejected, clean ones kept
+        assert not inl[::4].any()
+        clean = np.ones(len(pts), bool)
+        clean[::4] = False
+        assert inl[clean].mean() > 0.99
+
+
+class TestTriangulation:
+    def test_two_view_recovers_points(self):
+        rng = np.random.default_rng(2)
+        K, pts, Ts = make_scene(rng)
+        uv0, _ = project_np(K, Ts[0], pts)
+        uv1, _ = project_np(K, Ts[1], pts)
+        xyz = triangulate_two_view(
+            jnp.asarray(K)[None],
+            jnp.asarray(K)[None],
+            jnp.asarray(Ts[0])[None],
+            jnp.asarray(Ts[1])[None],
+            jnp.asarray(uv0)[None],
+            jnp.asarray(uv1)[None],
+        )[0]
+        assert np.abs(np.asarray(xyz) - pts).max() < 1e-3
+
+    def test_multiview_tracks_with_padding_and_noise(self):
+        rng = np.random.default_rng(3)
+        n_views, n_pts, vcap = 6, 48, 8
+        K, pts, Ts = make_scene(rng, n_views=n_views, n_pts=n_pts)
+        uv = np.zeros((n_pts, vcap, 2))
+        Karr = np.tile(K, (n_pts, vcap, 1, 1))
+        Tarr = np.tile(np.eye(4), (n_pts, vcap, 1, 1))
+        valid = np.zeros((n_pts, vcap), bool)
+        for t in range(n_pts):
+            views = rng.choice(n_views, size=rng.integers(3, n_views + 1), replace=False)
+            for s, v in enumerate(views):
+                puv, _ = project_np(K, Ts[v], pts[t : t + 1])
+                uv[t, s] = puv[0] + rng.normal(0, 0.3, 2)
+                Tarr[t, s] = Ts[v]
+                valid[t, s] = True
+        xyz, obs_inl, track_ok, reproj = triangulate_and_filter(
+            jnp.asarray(Karr), jnp.asarray(Tarr), jnp.asarray(uv), jnp.asarray(valid)
+        )
+        ok = np.asarray(track_ok)
+        assert ok.mean() > 0.95
+        err = np.linalg.norm(np.asarray(xyz)[ok] - pts[ok], axis=-1)
+        assert np.median(err) < 5e-3
+
+    def test_outlier_observation_flagged(self):
+        rng = np.random.default_rng(4)
+        K, pts, Ts = make_scene(rng, n_views=5, n_pts=8)
+        vcap = 5
+        uv = np.zeros((8, vcap, 2))
+        Karr = np.tile(K, (8, vcap, 1, 1))
+        Tarr = np.tile(Ts[None, :, :, :], (8, 1, 1, 1))
+        valid = np.ones((8, vcap), bool)
+        for t in range(8):
+            for v in range(vcap):
+                puv, _ = project_np(K, Ts[v], pts[t : t + 1])
+                uv[t, v] = puv[0]
+        uv[:, 2] += 50.0  # corrupt view 2 everywhere
+        xyz, obs_inl, track_ok, _ = triangulate_and_filter(
+            jnp.asarray(Karr), jnp.asarray(Tarr), jnp.asarray(uv), jnp.asarray(valid)
+        )
+        obs_inl = np.asarray(obs_inl)
+        assert np.asarray(track_ok).all()
+        assert not obs_inl[:, 2].any()
+        assert obs_inl[:, [0, 1, 3, 4]].mean() > 0.95
+
+
+class TestPnP:
+    def _solve(self, outlier_frac, seed=0, n=128):
+        rng = np.random.default_rng(seed)
+        K, pts, Ts = make_scene(rng, n_views=1, n_pts=n)
+        T = Ts[0]
+        uv, _ = project_np(K, T, pts)
+        uv += rng.normal(0, 0.3, uv.shape)
+        n_out = int(outlier_frac * n)
+        uv[:n_out] = rng.uniform(0, 512, (n_out, 2))
+        res = ransac_pnp(
+            jnp.asarray(pts),
+            jnp.asarray(uv),
+            jnp.asarray(K),
+            jnp.ones(n, bool),
+            jax.random.PRNGKey(seed),
+            reproj_threshold_px=3.0,
+            num_hypotheses=256,
+        )
+        return res, T, n_out
+
+    @pytest.mark.parametrize("outlier_frac", [0.0, 0.3, 0.5])
+    def test_recovers_pose(self, outlier_frac):
+        res, T, n_out = self._solve(outlier_frac)
+        assert bool(res.ok)
+        R_err = np.asarray(res.R) @ T[:3, :3].T
+        ang = np.rad2deg(
+            np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1))
+        )
+        assert ang < 0.5, f"rotation error {ang} deg"
+        assert np.linalg.norm(np.asarray(res.t) - T[:3, 3]) < 0.02
+        # outliers must not be counted as inliers
+        assert not np.asarray(res.inliers)[: n_out // 2].any() or n_out == 0
+
+    def test_batched(self):
+        rng = np.random.default_rng(7)
+        B, n = 4, 96
+        K, pts, Ts = make_scene(rng, n_views=B, n_pts=n)
+        uvs, valids = [], []
+        for b in range(B):
+            uv, _ = project_np(K, Ts[b], pts)
+            uvs.append(uv)
+            valids.append(np.ones(n, bool))
+        res = ransac_pnp_batch(
+            jnp.asarray(np.tile(pts, (B, 1, 1))),
+            jnp.asarray(np.stack(uvs)),
+            jnp.asarray(np.tile(K, (B, 1, 1))),
+            jnp.asarray(np.stack(valids)),
+            jax.random.PRNGKey(0),
+            reproj_threshold_px=3.0,
+            num_hypotheses=256,
+        )
+        assert np.asarray(res.ok).all()
+        for b in range(B):
+            assert np.abs(np.asarray(res.R[b]) - Ts[b][:3, :3]).max() < 5e-3
+
+    def test_degenerate_returns_not_ok(self):
+        n = 16
+        res = ransac_pnp(
+            jnp.zeros((n, 3)),
+            jnp.zeros((n, 2)),
+            jnp.asarray(np.eye(3) * 500.0),
+            jnp.zeros(n, bool),  # nothing valid
+            jax.random.PRNGKey(0),
+        )
+        assert not bool(res.ok)
+        assert np.allclose(np.asarray(res.R), np.eye(3))
+
+
+class TestLM:
+    def test_scalar_quadratic(self):
+        # residual r = a*x - b has solution x = b/a
+        a = jnp.asarray(np.random.default_rng(0).uniform(0.5, 2.0, (64,)))
+        b = jnp.asarray(np.random.default_rng(1).uniform(-3, 3, (64,)))
+
+        def res(x, ai, bi):
+            return (ai * x - bi)[None]
+
+        x0 = jnp.zeros(64)
+        x, cost = lm_solve_scalar(res, x0, (a, b), max_iters=30)
+        assert np.abs(np.asarray(x - b / a)).max() < 1e-4
+        assert float(jnp.max(cost)) < 1e-8
+
+    def test_multidim_rosenbrock_ls(self):
+        # r = [10(y - x^2), 1 - x]; min at (1, 1)
+        def res(p):
+            return jnp.stack([10.0 * (p[1] - p[0] ** 2), 1.0 - p[0]])
+
+        x0 = jnp.tile(jnp.asarray([-1.2, 1.0]), (8, 1))
+        x, cost = lm_solve(res, x0, (), max_iters=200)
+        assert np.abs(np.asarray(x) - 1.0).max() < 1e-3
+
+    def test_depth_residual_lm_recovers_depth(self):
+        rng = np.random.default_rng(5)
+        K, pts, Ts = make_scene(rng, n_views=4, n_pts=32)
+        # track t observed in view 0 (keyframe) and views 1..3
+        uv0_all, depth0 = project_np(K, Ts[0], pts)
+        aa = np.stack([np.asarray(matrix_to_angle_axis(jnp.asarray(T[:3, :3]))) for T in Ts])
+        uv1 = np.stack(
+            [project_np(K, Ts[v], pts)[0] for v in range(1, 4)], axis=1
+        )  # [N, 3, 2]
+
+        def res(d, uv0, uv1_, p1aa, p1t):
+            return depth_residual_track(
+                d,
+                uv0,
+                uv1_,
+                jnp.asarray(K),
+                jnp.tile(jnp.asarray(K), (3, 1, 1)),
+                jnp.asarray(aa[0]),
+                jnp.asarray(Ts[0][:3, 3]),
+                p1aa,
+                p1t,
+                jnp.ones(3, bool),
+            )
+
+        p1aa = jnp.asarray(np.tile(aa[1:4], (32, 1, 1)))
+        p1t = jnp.asarray(np.tile(Ts[1:4, :3, 3], (32, 1, 1)))
+        d0 = jnp.asarray(depth0 * rng.uniform(0.8, 1.2, 32))  # perturbed init
+        d, cost = lm_solve_scalar(
+            res,
+            d0,
+            (jnp.asarray(uv0_all), jnp.asarray(uv1), p1aa, p1t),
+            max_iters=30,
+        )
+        assert np.abs(np.asarray(d) - depth0).max() < 1e-3
+
+    def test_first_order_matches_lm(self):
+        a = jnp.asarray(np.random.default_rng(0).uniform(0.5, 2.0, (16,)))
+        b = jnp.asarray(np.random.default_rng(1).uniform(-3, 3, (16,)))
+
+        def res(x, ai, bi):
+            return (ai * x - bi)[None]
+
+        # reference fallback budget: 1000 Adam steps at lr 3e-2
+        x, _ = first_order_solve(res, jnp.zeros(16), (a, b), max_iters=1000)
+        assert np.abs(np.asarray(x - b / a)).max() < 1e-2
