@@ -55,20 +55,28 @@ def main():
     model = OnePosePlusModel(cfg)
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
 
+    # The iteration index perturbs the input ON DEVICE (defeats any
+    # identical-execution result caching in the device tunnel) and the scalar
+    # return forces a host readback per iteration (block_until_ready through
+    # the tunnel does not reliably wait for remote compute).
     @jax.jit
-    def forward(variables, batch):
-        out = model.apply(variables, batch, train=False)
-        return out["mkpts_query_f"], out["mkpts_3d"], out["mconf"], out["match_mask"]
+    def forward(variables, batch, i):
+        b = dict(batch)
+        b["query_image"] = b["query_image"] + i * 1e-9
+        out = model.apply(variables, b, train=False)
+        return (
+            jnp.sum(out["mkpts_query_f"])
+            + jnp.sum(out["mconf"])
+            + jnp.sum(out["match_mask"])
+        )
 
     # warmup + compile
-    out = forward(variables, batch)
-    jax.block_until_ready(out)
+    float(forward(variables, batch, jnp.float32(0)))
 
     n_iters = 10
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(variables, batch)
-    jax.block_until_ready(out)
+    outs = [forward(variables, batch, jnp.float32(k + 1)) for k in range(n_iters)]
+    _ = [float(o) for o in outs]  # drain: every execution must have finished
     dt = time.perf_counter() - t0
 
     fps = BATCH * n_iters / dt
