@@ -1,0 +1,213 @@
+"""SfM engine tests on synthetic scenes: pair generation, coarse-match
+merging, track building, and the full known-pose triangulation driver
+(COLMAP-replacement path) with a simulated matcher."""
+import numpy as np
+import pytest
+
+from onepose_plus_plus_tpu.sfm.coarse_match import (
+    PairMatches,
+    merge_keypoints,
+    run_pairs,
+)
+from onepose_plus_plus_tpu.sfm.pairs import (
+    exhaustive_pairs,
+    index_window_pairs,
+    pose_covisibility_pairs,
+)
+from onepose_plus_plus_tpu.sfm.tracks import build_tracks, tracks_to_arrays
+from onepose_plus_plus_tpu.sfm.triangulate import triangulate_scene
+
+from synthetic_scenes import make_scene, project_np
+
+
+class TestPairs:
+    def test_exhaustive(self):
+        p = exhaustive_pairs(4)
+        assert len(p) == 6 and (0, 1) in p and (2, 3) in p
+
+    def test_index_window(self):
+        p = index_window_pairs(5, gap=2)
+        assert (0, 1) in p and (0, 2) in p and (0, 3) not in p
+        assert (3, 4) in p
+
+    def test_pose_covis_filters_small_rotation(self):
+        rng = np.random.default_rng(0)
+        _, _, Ts = make_scene(rng, n_views=8)
+        # duplicate view 0 (zero relative rotation) as view 8
+        Ts = np.concatenate([Ts, Ts[:1]], axis=0)
+        pairs = pose_covisibility_pairs(list(Ts), num_matched=3, min_rotation_deg=10.0)
+        assert (0, 8) not in pairs  # same pose -> rotation 0 deg -> filtered
+        assert len(pairs) > 0
+        for i, j in pairs:
+            assert i < j
+
+    def test_pose_covis_prefers_near(self):
+        rng = np.random.default_rng(1)
+        _, _, Ts = make_scene(rng, n_views=8)
+        pairs = pose_covisibility_pairs(list(Ts), num_matched=2, min_rotation_deg=5.0)
+        # ring layout: consecutive views are nearest
+        assert (0, 1) in pairs
+
+
+def simulate_matcher(K, Ts, pts, noise=0.0, seed=0, drop_frac=0.0):
+    """Produce PairMatches for all view pairs by projecting GT points."""
+    rng = np.random.default_rng(seed)
+    out = []
+    n_views = len(Ts)
+    for i in range(n_views):
+        for j in range(i + 1, n_views):
+            uv0, d0 = project_np(K, Ts[i], pts)
+            uv1, d1 = project_np(K, Ts[j], pts)
+            keep = rng.random(len(pts)) >= drop_frac
+            uv0 = uv0[keep] + rng.normal(0, noise, (keep.sum(), 2))
+            uv1 = uv1[keep] + rng.normal(0, noise, (keep.sum(), 2))
+            out.append(
+                PairMatches((i, j), uv0, uv1, rng.uniform(0.5, 1.0, keep.sum()))
+            )
+    return out
+
+
+class TestMergeKeypoints:
+    def test_merges_duplicates_and_reindexes(self):
+        # two pairs sharing image 1; identical int pixel -> same keypoint id
+        pm1 = PairMatches(
+            (0, 1),
+            np.array([[10.2, 10.3], [20.0, 20.0]]),
+            np.array([[50.1, 50.2], [60.0, 60.0]]),
+            np.array([0.9, 0.8]),
+        )
+        pm2 = PairMatches(
+            (1, 2),
+            np.array([[50.3, 49.8]]),  # quantizes to (50, 50) like pm1 pts1[0]
+            np.array([[70.0, 70.0]]),
+            np.array([0.7]),
+        )
+        scene = merge_keypoints([pm1, pm2])
+        assert len(scene.keypoints[1]) == 2  # (50,50) merged + (60,60)
+        # the merged keypoint's score is the confidence sum
+        k1 = scene.keypoints[1]
+        idx5050 = int(np.where((k1 == [50, 50]).all(1))[0][0])
+        assert np.isclose(scene.scores[1][idx5050], 0.9 + 0.7)
+        # index matches reference the shared keypoint consistently
+        m01 = scene.match_indices[(0, 1)]
+        m12 = scene.match_indices[(1, 2)]
+        assert m01[0, 1] == idx5050 and m12[0, 0] == idx5050
+
+    def test_run_pairs_batches_and_rescales(self):
+        calls = []
+
+        def fake_fn(img0, img1):
+            calls.append(img0.shape[0])
+            b = img0.shape[0]
+            k = 4
+            return {
+                "mkpts0_c": np.tile(np.array([[8.0, 16.0]] * k), (b, 1, 1)),
+                "mkpts1_c": np.tile(np.array([[24.0, 8.0]] * k), (b, 1, 1)),
+                "mconf": np.ones((b, k)),
+                "match_mask": np.tile(
+                    np.array([True, True, False, False]), (b, 1)
+                ),
+            }
+
+        images = {i: np.zeros((32, 32), np.float32) for i in range(3)}
+        scales = {i: np.array([2.0, 2.0], np.float32) for i in range(3)}
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        out = run_pairs(fake_fn, images, scales, pairs, pair_batch=2)
+        assert len(out) == 3
+        assert calls == [2, 2]  # tail padded to batch
+        assert np.allclose(out[0].pts0[0], [16.0, 32.0])  # x2 rescale
+        assert len(out[0].pts0) == 2  # masked slots removed
+
+
+class TestTracks:
+    def test_transitive_union(self):
+        counts = {0: 3, 1: 3, 2: 3}
+        matches = {
+            (0, 1): np.array([[0, 1]]),
+            (1, 2): np.array([[1, 2]]),
+        }
+        tracks = build_tracks(counts, matches)
+        assert len(tracks) == 1
+        assert tracks[0] == {0: 0, 1: 1, 2: 2}
+
+    def test_conflict_resolution_keeps_stronger(self):
+        counts = {0: 2, 1: 1, 2: 1}
+        # img0 kpt0 and img0 kpt1 both connect into one component through img1/2
+        matches = {
+            (0, 1): np.array([[0, 0], [1, 0]]),
+            (1, 2): np.array([[0, 0]]),
+        }
+        confs = {
+            (0, 1): np.array([0.2, 0.9]),
+            (1, 2): np.array([0.5]),
+        }
+        tracks = build_tracks(counts, matches, confs)
+        assert len(tracks) == 1
+        assert tracks[0][0] == 1  # higher-conf observation survives
+
+    def test_min_track_length(self):
+        counts = {0: 2, 1: 2}
+        matches = {(0, 1): np.array([[0, 0]])}
+        assert len(build_tracks(counts, matches, min_track_length=3)) == 0
+
+    def test_arrays_padding(self):
+        counts = {0: 1, 1: 1, 2: 1}
+        tracks = [{0: 0, 1: 0, 2: 0}]
+        kpts = {i: np.array([[float(i), 2.0 * i]]) for i in range(3)}
+        Ks = {i: np.eye(3) for i in range(3)}
+        Ts = {i: np.eye(4) for i in range(3)}
+        pack = tracks_to_arrays(tracks, kpts, Ks, Ts, max_track_length=5)
+        assert pack["uv"].shape == (1, 5, 2)
+        assert pack["valid"][0].sum() == 3
+        assert (pack["img_ids"][0][3:] == -1).all()
+
+
+class TestTriangulateScene:
+    def _scene(self, noise=0.3, outlier_pair_frac=0.0, seed=0):
+        rng = np.random.default_rng(seed)
+        n_views, n_pts = 6, 40
+        K, pts, Ts = make_scene(rng, n_views=n_views, n_pts=n_pts)
+        raw = simulate_matcher(K, Ts, pts, noise=noise, seed=seed, drop_frac=0.2)
+        if outlier_pair_frac > 0:
+            for pm in raw:
+                n_bad = int(outlier_pair_frac * len(pm.pts0))
+                pm.pts1[:n_bad] += rng.uniform(40, 80, (n_bad, 2))
+        scene = merge_keypoints(raw)
+        Ks = {i: K for i in range(n_views)}
+        Tsd = {i: Ts[i] for i in range(n_views)}
+        sizes = {i: (512, 512) for i in range(n_views)}
+        return scene, Ks, Tsd, sizes, pts
+
+    def test_clean_scene_recovers_points(self):
+        scene, Ks, Ts, sizes, pts = self._scene(noise=0.2)
+        res = triangulate_scene(scene, Ks, Ts, sizes)
+        assert res.stats["num_points3D"] >= 30
+        assert res.stats["mean_track_length"] > 3
+        # every reconstructed point lies near some GT point
+        xyz = np.stack([p.xyz for p in res.points3d.values()])
+        d = np.linalg.norm(xyz[:, None, :] - pts[None], axis=-1).min(axis=1)
+        assert np.median(d) < 0.01
+
+    def test_verification_rejects_outlier_matches(self):
+        scene, Ks, Ts, sizes, pts = self._scene(noise=0.2, outlier_pair_frac=0.3)
+        res = triangulate_scene(scene, Ks, Ts, sizes)
+        assert res.stats["num_points3D"] >= 20
+        xyz = np.stack([p.xyz for p in res.points3d.values()])
+        d = np.linalg.norm(xyz[:, None, :] - pts[None], axis=-1).min(axis=1)
+        assert np.median(d) < 0.02
+
+    def test_model_interop(self, tmp_path):
+        from onepose_plus_plus_tpu.data import read_model, write_model
+
+        scene, Ks, Ts, sizes, pts = self._scene()
+        res = triangulate_scene(scene, Ks, Ts, sizes)
+        write_model(res.cameras, res.images, res.points3d, str(tmp_path))
+        cams, imgs, p3d = read_model(str(tmp_path))
+        assert len(p3d) == len(res.points3d)
+        # back-references consistent: every track obs indexes a real keypoint
+        for p in p3d.values():
+            for im, k in zip(p.image_ids, p.point2D_idxs):
+                assert imgs[int(im)].point3D_ids[int(k)] == p.id
+        # image poses round-trip to the input world->cam transforms
+        for i, im in imgs.items():
+            np.testing.assert_allclose(im.T()[:3], Ts[i][:3], atol=1e-6)
