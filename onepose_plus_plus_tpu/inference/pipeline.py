@@ -1,0 +1,190 @@
+"""Batched query-pose inference pipeline.
+
+Replaces reference ``src/inference/inference_OnePosePlus.py`` +
+``inference_OnePosePlus_worker.py`` (2 Ray workers x 0.5 GPU, one frame at a
+time through model forward + pycolmap/cv2 PnP). TPU-native design: the whole
+per-frame chain — 2D-3D matching forward AND RANSAC-PnP AND pose-error
+computation — is ONE jitted, batched device program; frames stream through in
+batches of ``frame_batch`` and the host only does IO. This fused
+forward+solve step is the framework's headline throughput path
+(BASELINE.json north star).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import OnePosePlusConfig
+from ..eval.metrics import aggregate_metrics, batched_pose_errors
+from ..geometry.pnp import PnPResult, ransac_pnp
+from ..models.onepose_plus import OnePosePlusModel
+
+
+@dataclasses.dataclass
+class InferenceResult:
+    poses: np.ndarray  # [F, 4, 4] predicted world->cam
+    num_inliers: np.ndarray  # [F]
+    ok: np.ndarray  # [F] bool
+    R_errs: Optional[np.ndarray] = None  # [F] deg (when GT given)
+    t_errs: Optional[np.ndarray] = None  # [F] cm
+    metrics: Optional[dict] = None
+
+
+def make_query_step(
+    model: OnePosePlusModel,
+    variables,
+    reproj_threshold_px: float = 3.3,
+    num_hypotheses: int = 512,
+    conf_threshold: float = 0.0,
+):
+    """Build the jitted batched (match + PnP [+ errors]) device step.
+
+    Returns fn(batch_dict, rng, pose_gt or None) ->
+        (poses [B, 4, 4], num_inliers [B], ok [B], R_err [B], t_err [B]).
+    ``batch_dict`` carries query_image [B, H, W, 1], keypoints3d [B, S, 3],
+    descriptors3d [B, S, 128], descriptors3d_coarse [B, S, 256], intrinsics
+    [B, 3, 3]; GT errors are NaN when pose_gt is None.
+    """
+
+    @jax.jit
+    def step(batch, rng, pose_gt):
+        out = model.apply(variables, batch, train=False)
+        mkpts3d = out["mkpts_3d"]  # [B, K, 3]
+        mkpts2d = out["mkpts_query_f"]  # [B, K, 2]
+        mconf = out["mconf"]
+        mask = out["match_mask"].astype(bool) & (mconf > conf_threshold)
+
+        keys = jax.random.split(rng, mkpts3d.shape[0])
+        res: PnPResult = jax.vmap(
+            lambda p3, p2, K, v, key: ransac_pnp(
+                p3,
+                p2,
+                K,
+                v,
+                key,
+                reproj_threshold_px=reproj_threshold_px,
+                num_hypotheses=num_hypotheses,
+            )
+        )(mkpts3d, mkpts2d, batch["intrinsics"], mask, keys)
+
+        b = mkpts3d.shape[0]
+        poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))
+        poses = poses.at[:, :3, :3].set(res.R)
+        poses = poses.at[:, :3, 3].set(res.t)
+
+        if pose_gt is None:
+            nan = jnp.full((b,), jnp.nan, jnp.float32)
+            return poses, res.num_inliers, res.ok, nan, nan
+        R_err, t_err = batched_pose_errors(poses, pose_gt)
+        return poses, res.num_inliers, res.ok, R_err, t_err
+
+    return step
+
+
+def run_inference(
+    model: OnePosePlusModel,
+    variables,
+    frames: Iterable[dict],
+    annotation: Dict[str, np.ndarray],
+    shape3d: int = 7000,
+    frame_batch: int = 16,
+    reproj_threshold_px: float = 3.3,
+    num_hypotheses: int = 512,
+    pose_thresholds=(1, 3, 5),
+    rng_seed: int = 0,
+) -> InferenceResult:
+    """Run the batched query pipeline over an object's frames.
+
+    Args:
+        frames: iterable of dicts with ``image`` [H, W] float, ``K`` [3, 3],
+            and optional ``pose_gt`` [4, 4].
+        annotation: the object's SfM annotation — ``keypoints3d`` [m, 3],
+            ``descriptors3d`` [m, 128], plus optional
+            ``descriptors3d_coarse`` [m, 256] (reference
+            anno_3d_average[_coarse].npz pair).
+    """
+    from ..data.preprocessing import pad_point_cloud
+
+    gen = np.random.default_rng(rng_seed)
+    fine = pad_point_cloud(
+        annotation["keypoints3d"],
+        annotation["descriptors3d"],
+        annotation.get("scores3d"),
+        shape3d,
+        gen,
+    )
+    if "descriptors3d_coarse" in annotation:
+        coarse = pad_point_cloud(
+            annotation["keypoints3d"],
+            annotation["descriptors3d_coarse"],
+            annotation.get("scores3d_coarse"),
+            shape3d,
+            np.random.default_rng(rng_seed),  # same subsample as fine
+        )
+        desc_c = coarse["descriptors3d"]
+    else:
+        desc_c = None
+
+    step = make_query_step(
+        model,
+        variables,
+        reproj_threshold_px=reproj_threshold_px,
+        num_hypotheses=num_hypotheses,
+    )
+    frames = list(frames)
+    has_gt = all("pose_gt" in f for f in frames)
+    rng = jax.random.PRNGKey(rng_seed)
+
+    poses, inliers, oks, r_errs, t_errs = [], [], [], [], []
+    for s in range(0, len(frames), frame_batch):
+        chunk = frames[s : s + frame_batch]
+        pad = frame_batch - len(chunk)
+        chunk_p = chunk + [chunk[-1]] * pad
+        b = len(chunk_p)
+        batch = {
+            "query_image": jnp.asarray(
+                np.stack([f["image"][..., None] for f in chunk_p], 0), jnp.float32
+            ),
+            "keypoints3d": jnp.tile(jnp.asarray(fine["keypoints3d"]), (b, 1, 1)),
+            "descriptors3d": jnp.tile(
+                jnp.asarray(fine["descriptors3d"]), (b, 1, 1)
+            ),
+            "intrinsics": jnp.asarray(
+                np.stack([f["K"] for f in chunk_p], 0), jnp.float32
+            ),
+        }
+        if desc_c is not None:
+            batch["descriptors3d_coarse"] = jnp.tile(
+                jnp.asarray(desc_c), (b, 1, 1)
+            )
+        gt = (
+            jnp.asarray(np.stack([f["pose_gt"] for f in chunk_p]), jnp.float32)
+            if has_gt
+            else None
+        )
+        rng, sub = jax.random.split(rng)
+        p, ni, ok, re, te = step(batch, sub, gt)
+        n = len(chunk)
+        poses.append(np.asarray(p)[:n])
+        inliers.append(np.asarray(ni)[:n])
+        oks.append(np.asarray(ok)[:n])
+        r_errs.append(np.asarray(re)[:n])
+        t_errs.append(np.asarray(te)[:n])
+
+    result = InferenceResult(
+        poses=np.concatenate(poses) if poses else np.zeros((0, 4, 4)),
+        num_inliers=np.concatenate(inliers) if inliers else np.zeros(0, np.int32),
+        ok=np.concatenate(oks) if oks else np.zeros(0, bool),
+    )
+    if has_gt and frames:
+        result.R_errs = np.concatenate(r_errs)
+        result.t_errs = np.concatenate(t_errs)
+        result.metrics = aggregate_metrics(
+            result.R_errs, result.t_errs, pose_thresholds=pose_thresholds
+        )
+    return result
