@@ -27,3 +27,14 @@ from .preprocessing import (
     save_2d_annotation,
     load_2d_annotation,
 )
+from .homography import sample_homography, warp_image, warp_points
+from .dataset import (
+    FrameRecord,
+    load_manifest,
+    records_from_coco,
+    OnePosePlusTrainDataset,
+    OnePosePlusInferenceDataset,
+    TrainLoader,
+    batch_examples,
+)
+from .augment import build_augmentor, DarkAug, MobileAug

@@ -1,0 +1,187 @@
+"""Dataset-layer tests: manifests, GT supervision building (sparse gt_cell /
+gt_fine_xy), homography warp adaptation, loaders, augmentors."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from onepose_plus_plus_tpu.data import (
+    FrameRecord,
+    OnePosePlusInferenceDataset,
+    OnePosePlusTrainDataset,
+    TrainLoader,
+    build_augmentor,
+    load_manifest,
+    sample_homography,
+    save_3d_annotation,
+    warp_image,
+    warp_points,
+)
+from synthetic_scenes import make_scene, project_np
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture
+def object_dir(tmp_path):
+    """A miniature OnePose-style object: 3 frames + 3D annotation."""
+    rng = np.random.default_rng(0)
+    n_pts = 50
+    K, pts, Ts = make_scene(rng, n_views=3, n_pts=n_pts, img=128.0)
+    d = tmp_path / "obj"
+    (d / "color").mkdir(parents=True)
+    anno_p = str(d / "anno_3d_average.npz")
+    desc = rng.standard_normal((n_pts, 128)).astype(np.float32)
+    save_3d_annotation(anno_p, pts.astype(np.float32), desc, np.ones(n_pts, np.float32))
+    save_3d_annotation(
+        str(d / "anno_3d_average_coarse.npz"),
+        pts.astype(np.float32),
+        rng.standard_normal((n_pts, 256)).astype(np.float32),
+        np.ones(n_pts, np.float32),
+    )
+    records = []
+    for i in range(3):
+        img = (rng.random((128, 128)) * 255).astype(np.uint8)
+        p = str(d / "color" / f"{i}.png")
+        cv2.imwrite(p, img)
+        records.append(
+            FrameRecord(
+                img_file=p,
+                pose=Ts[i],
+                K=K,
+                avg_anno3d_file=anno_p,
+                assign_pairs=np.stack(
+                    [np.arange(n_pts), np.arange(n_pts)]
+                ),  # all points observed
+            )
+        )
+    return records, K, pts, Ts, anno_p
+
+
+class TestManifest:
+    def test_roundtrip(self, tmp_path, object_dir):
+        records, K, _, Ts, anno_p = object_dir
+        manifest = [
+            {
+                "img_file": r.img_file,
+                "pose": r.pose.tolist(),
+                "K": r.K.tolist(),
+                "avg_anno3d_file": r.avg_anno3d_file,
+                "assign_pairs": r.assign_pairs.tolist(),
+            }
+            for r in records
+        ]
+        p = tmp_path / "manifest.json"
+        p.write_text(json.dumps(manifest))
+        out = load_manifest(str(p))
+        assert len(out) == 3
+        np.testing.assert_allclose(out[0].pose, Ts[0])
+        np.testing.assert_allclose(out[0].K, K)
+
+
+class TestTrainDataset:
+    def test_shapes_and_gt_consistency(self, object_dir):
+        records, K, pts, Ts, _ = object_dir
+        S = 64
+        ds = OnePosePlusTrainDataset(records, img_size=128, shape3d=S)
+        assert len(ds) == 3
+        ex = ds[0]
+        assert ex["query_image"].shape == (128, 128, 1)
+        assert ex["keypoints3d"].shape == (S, 3)
+        assert ex["descriptors3d"].shape == (S, 128)
+        assert ex["descriptors3d_coarse"].shape == (S, 256)
+        assert ex["gt_cell"].shape == (S,)
+        # for every supervised slot, projecting the 3D point with the GT pose
+        # must land in the claimed coarse cell
+        sup = np.flatnonzero(ex["gt_cell"] >= 0)
+        assert len(sup) > 20  # most of the 50 points visible
+        s_grid = 128 // 8
+        for slot in sup[:10]:
+            X = ex["keypoints3d"][slot]
+            pc = ex["pose_gt"][:3, :3] @ X + ex["pose_gt"][:3, 3]
+            uv = (ex["intrinsics"] @ pc)[:2] / pc[2]
+            np.testing.assert_allclose(ex["gt_fine_xy"][slot], uv, atol=1e-3)
+            cell = round(uv[1] / 8) * s_grid + round(uv[0] / 8)
+            assert ex["gt_cell"][slot] == cell
+
+    def test_subsample_keeps_assigned(self, object_dir):
+        records, *_ = object_dir
+        # capacity smaller than point count: assigned (=all 50) must survive
+        ds = OnePosePlusTrainDataset(records, img_size=128, shape3d=40)
+        ex = ds[0]
+        # the synthetic FOV only covers ~60% of the points; all VISIBLE
+        # assigned points must be supervised despite the subsampling
+        assert (ex["gt_cell"] >= 0).sum() >= 20
+
+    def test_warp_adaptation_doubles_and_stays_consistent(self, object_dir):
+        records, *_ = object_dir
+        ds = OnePosePlusTrainDataset(
+            records, img_size=128, shape3d=64, image_warp_adapt=True
+        )
+        assert len(ds) == 6
+        plain, warped = ds[0], ds[1]
+        assert not np.allclose(plain["query_image"], warped["query_image"])
+        # warped example still has a usable amount of supervision
+        assert (warped["gt_cell"] >= 0).sum() > 10
+
+    def test_loader_batches(self, object_dir):
+        records, *_ = object_dir
+        ds = OnePosePlusTrainDataset(records, img_size=128, shape3d=32)
+        loader = TrainLoader(ds, batch_size=2, drop_last=True)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 1
+        assert batches[0]["query_image"].shape == (2, 128, 128, 1)
+        assert batches[0]["gt_cell"].shape == (2, 32)
+        # different epochs shuffle differently (almost surely)
+        b1 = list(loader.epoch(1))
+        assert len(b1) == 1
+
+
+class TestInferenceDataset:
+    def test_frames(self, object_dir):
+        records, K, _, Ts, anno_p = object_dir
+        ds = OnePosePlusInferenceDataset(anno_p, records, img_size=128)
+        assert len(ds) == 3
+        f = ds[0]
+        assert f["image"].shape == (128, 128)
+        assert "pose_gt" in f
+        assert ds.annotation["descriptors3d"].shape == (50, 128)
+        assert ds.annotation["descriptors3d_coarse"].shape == (50, 256)
+        demo = OnePosePlusInferenceDataset(anno_p, records, img_size=128, demo_mode=True)
+        assert "pose_gt" not in demo[0]
+
+
+class TestHomography:
+    def test_warp_points_matches_image_warp(self):
+        rng = np.random.default_rng(0)
+        H = sample_homography(64, 64, rng)
+        # a bright dot at (20, 30) should move to warp_points position
+        img = np.zeros((64, 64), np.float32)
+        img[30, 20] = 1.0
+        warped = warp_image(img, H)
+        target = warp_points(np.array([[20.0, 30.0]]), H)[0]
+        if 2 < target[0] < 61 and 2 < target[1] < 61:
+            yx = np.unravel_index(np.argmax(warped), warped.shape)
+            assert abs(yx[1] - target[0]) <= 2 and abs(yx[0] - target[1]) <= 2
+
+    def test_identity_like(self):
+        H = np.eye(3)
+        pts = np.array([[1.0, 2.0], [30.0, 40.0]])
+        np.testing.assert_allclose(warp_points(pts, H), pts)
+
+
+class TestAugment:
+    @pytest.mark.parametrize("method", ["dark", "mobile"])
+    def test_augmentors_preserve_range(self, method):
+        aug = build_augmentor(method, seed=0)
+        img = np.random.default_rng(0).random((64, 64)).astype(np.float32)
+        for _ in range(5):
+            out = aug(img)
+            assert out.shape == img.shape
+            assert out.min() >= 0 and out.max() <= 1
+
+    def test_none(self):
+        assert build_augmentor(None) is None
+        with pytest.raises(ValueError):
+            build_augmentor("bogus")
