@@ -1,0 +1,14 @@
+from .config_loader import Config, load_config, save_config
+from .profiling import (
+    PassThroughProfiler,
+    SimpleProfiler,
+    build_profiler,
+    trace,
+    annotate,
+)
+from .checkpoint import (
+    save_checkpoint,
+    load_checkpoint,
+    convert_torch_state_dict,
+    load_torch_checkpoint,
+)

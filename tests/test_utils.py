@@ -1,0 +1,190 @@
+"""Tests for config loader, profiler, orbax checkpoints, torch conversion."""
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from onepose_plus_plus_tpu.utils import (
+    SimpleProfiler,
+    build_profiler,
+    convert_torch_state_dict,
+    load_checkpoint,
+    load_config,
+    save_checkpoint,
+)
+
+
+class TestConfigLoader:
+    @pytest.fixture
+    def configs_dir(self, tmp_path):
+        (tmp_path / "preprocess").mkdir()
+        (tmp_path / "config.yaml").write_text(
+            yaml.safe_dump({"work_dir": ".", "type": None, "a": {"b": 1}})
+        )
+        (tmp_path / "preprocess" / "sfm_test.yaml").write_text(
+            yaml.safe_dump({"type": "sfm", "a": {"c": 2}, "down_ratio": 5})
+        )
+        return str(tmp_path)
+
+    def test_group_selector_merges(self, configs_dir):
+        cfg = load_config(configs_dir, ["+preprocess=sfm_test.yaml"])
+        assert cfg.type == "sfm"
+        assert cfg.a.b == 1 and cfg.a.c == 2  # deep merge
+        assert cfg.down_ratio == 5
+
+    def test_group_selector_without_extension(self, configs_dir):
+        cfg = load_config(configs_dir, ["+preprocess=sfm_test"])
+        assert cfg.type == "sfm"
+
+    def test_dotted_override(self, configs_dir):
+        cfg = load_config(
+            configs_dir,
+            ["+preprocess=sfm_test", "a.b=42", "down_ratio=1", "flag=true"],
+        )
+        assert cfg.a.b == 42 and cfg.down_ratio == 1 and cfg.flag is True
+
+    def test_get_path(self, configs_dir):
+        cfg = load_config(configs_dir, [])
+        assert cfg.get_path("a.b") == 1
+        assert cfg.get_path("a.zzz", "dflt") == "dflt"
+
+    def test_bad_arg_raises(self, configs_dir):
+        with pytest.raises(ValueError):
+            load_config(configs_dir, ["no_equals_sign"])
+        with pytest.raises(FileNotFoundError):
+            load_config(configs_dir, ["+preprocess=nope"])
+
+
+class TestProfiler:
+    def test_simple_profiler_records(self):
+        p = SimpleProfiler()
+        with p.record("stage_a"):
+            pass
+        with p.record("stage_a"):
+            pass
+        with p.record("stage_b"):
+            pass
+        assert p.counts["stage_a"] == 2
+        s = p.summary()
+        assert "stage_a" in s and "stage_b" in s
+
+    def test_registry(self):
+        assert build_profiler(None).summary() == ""
+        assert isinstance(build_profiler("inference"), SimpleProfiler)
+        with pytest.raises(ValueError):
+            build_profiler("wat")
+
+
+class TestOrbax:
+    def test_roundtrip(self, tmp_path):
+        tree = {
+            "params": {"w": jnp.ones((3, 4)), "b": jnp.zeros(4)},
+            "step": jnp.asarray(7),
+        }
+        p = str(tmp_path / "ckpt")
+        save_checkpoint(p, tree)
+        out = load_checkpoint(p)
+        np.testing.assert_allclose(np.asarray(out["params"]["w"]), 1.0)
+        assert int(np.asarray(out["step"])) == 7
+
+
+class TestTorchConversion:
+    def _variables(self):
+        from onepose_plus_plus_tpu.config import (
+            CoarseMatchingConfig,
+            OnePosePlusConfig,
+            TransformerConfig,
+            FineConfig,
+        )
+        from onepose_plus_plus_tpu.models.onepose_plus import OnePosePlusModel
+
+        cfg = OnePosePlusConfig(
+            coarse=TransformerConfig(d_model=256, nhead=8, layer_iter_n=1),
+            coarse_matching=CoarseMatchingConfig(max_matches=8),
+            fine=FineConfig(
+                transformer=TransformerConfig(d_model=128, nhead=8, layer_iter_n=1)
+            ),
+        )
+        model = OnePosePlusModel(cfg)
+        batch = {
+            "query_image": jnp.zeros((1, 64, 64, 1)),
+            "keypoints3d": jnp.zeros((1, 32, 3)),
+            "descriptors3d": jnp.zeros((1, 32, 128)),
+            "descriptors3d_coarse": jnp.zeros((1, 32, 256)),
+        }
+        return model, model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    def test_backbone_and_transformer_mapping(self):
+        _, variables = self._variables()
+        rng = np.random.default_rng(0)
+        sd = {
+            # conv: OIHW, bn: 1d, linear: [out, in]
+            "matcher.backbone.conv1.weight": rng.standard_normal((128, 1, 7, 7)).astype(np.float32),
+            "backbone.bn1.weight": rng.standard_normal(128).astype(np.float32),
+            "backbone.bn1.bias": rng.standard_normal(128).astype(np.float32),
+            "backbone.bn1.running_mean": rng.standard_normal(128).astype(np.float32),
+            "backbone.bn1.running_var": np.abs(rng.standard_normal(128)).astype(np.float32),
+            "backbone.bn1.num_batches_tracked": np.asarray(5),
+            "backbone.layer1.0.conv1.weight": rng.standard_normal((128, 128, 3, 3)).astype(np.float32),
+            "backbone.layer2.0.downsample.0.weight": rng.standard_normal((196, 128, 1, 1)).astype(np.float32),
+            "backbone.layer2.0.downsample.1.weight": rng.standard_normal(196).astype(np.float32),
+            "loftr_coarse.layers.0.q_proj.weight": rng.standard_normal((256, 256)).astype(np.float32),
+            "loftr_coarse.layers.0.mlp.0.weight": rng.standard_normal((512, 512)).astype(np.float32),
+            "loftr_coarse.layers.0.mlp.2.weight": rng.standard_normal((256, 512)).astype(np.float32),
+            "loftr_coarse.layers.0.norm1.weight": rng.standard_normal(256).astype(np.float32),
+            "loftr_coarse.layers.0.norm1.bias": rng.standard_normal(256).astype(np.float32),
+            "totally.unknown.weight": rng.standard_normal((3, 3)).astype(np.float32),
+        }
+        out, report = convert_torch_state_dict(sd, variables)
+        assert "totally.unknown.weight" in report["skipped"]
+        assert len(report["converted"]) == 13
+        # conv transposed OIHW->HWIO
+        np.testing.assert_allclose(
+            np.asarray(out["params"]["backbone"]["conv1"]["kernel"]),
+            sd["matcher.backbone.conv1.weight"].transpose(2, 3, 1, 0),
+        )
+        # bn routed: weight->scale, stats->batch_stats
+        np.testing.assert_allclose(
+            np.asarray(out["params"]["backbone"]["bn1"]["BatchNorm_0"]["scale"]),
+            sd["backbone.bn1.weight"],
+        )
+        np.testing.assert_allclose(
+            np.asarray(
+                out["batch_stats"]["backbone"]["bn1"]["BatchNorm_0"]["mean"]
+            ),
+            sd["backbone.bn1.running_mean"],
+        )
+        # downsample.0/.1 split into conv/bn
+        np.testing.assert_allclose(
+            np.asarray(
+                out["params"]["backbone"]["layer2_0"]["downsample_conv"]["kernel"]
+            ),
+            sd["backbone.layer2.0.downsample.0.weight"].transpose(2, 3, 1, 0),
+        )
+        # linear transposed; mlp.2 -> mlp_1; layernorm weight -> scale
+        np.testing.assert_allclose(
+            np.asarray(
+                out["params"]["loftr_coarse"]["layer_0"]["q_proj"]["kernel"]
+            ),
+            sd["loftr_coarse.layers.0.q_proj.weight"].T,
+        )
+        np.testing.assert_allclose(
+            np.asarray(
+                out["params"]["loftr_coarse"]["layer_0"]["mlp_1"]["kernel"]
+            ),
+            sd["loftr_coarse.layers.0.mlp.2.weight"].T,
+        )
+        np.testing.assert_allclose(
+            np.asarray(
+                out["params"]["loftr_coarse"]["layer_0"]["norm1"]["scale"]
+            ),
+            sd["loftr_coarse.layers.0.norm1.weight"],
+        )
+
+    def test_strict_raises_on_shape_mismatch(self):
+        _, variables = self._variables()
+        sd = {"backbone.conv1.weight": np.zeros((64, 1, 7, 7), np.float32)}
+        with pytest.raises(ValueError):
+            convert_torch_state_dict(sd, variables, strict=True)
