@@ -1,0 +1,144 @@
+"""Evaluation CLI — `python inference.py +experiment=inference_onepose.yaml`.
+
+CLI-parity entry point for reference ``inference.py``: per-object evaluation
+of the 2D-3D matcher + PnP against GT poses, aggregated to ``metrics.txt``.
+Frames stream through the fused batched match+PnP device step
+(:mod:`onepose_plus_plus_tpu.inference.pipeline`) instead of per-frame Ray
+workers.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+from onepose_plus_plus_tpu.data.dataset import (
+    FrameRecord,
+    OnePosePlusInferenceDataset,
+)
+from onepose_plus_plus_tpu.eval.metrics import aggregate_metrics
+from onepose_plus_plus_tpu.inference.pipeline import run_inference
+from onepose_plus_plus_tpu.models.build import build_onepose_model
+from onepose_plus_plus_tpu.utils import load_checkpoint, load_config
+
+CONFIGS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
+
+
+def discover_eval_objects(data_dir: str, sfm_dir: str):
+    """Objects with both a test sequence and an SfM annotation."""
+    out = []
+    for obj_dir in sorted(glob.glob(os.path.join(data_dir, "*"))):
+        base = os.path.basename(obj_dir)
+        anno = os.path.join(sfm_dir, base, "anno", "anno_3d_average.npz")
+        if not (os.path.isdir(obj_dir) and os.path.exists(anno)):
+            continue
+        seqs = [
+            s
+            for s in sorted(glob.glob(os.path.join(obj_dir, "*")))
+            if os.path.isdir(os.path.join(s, "color"))
+        ]
+        if seqs:
+            out.append((base, seqs, anno))
+    return out
+
+
+def sequence_records(seq_dir: str):
+    recs = []
+    for f in sorted(
+        glob.glob(os.path.join(seq_dir, "color", "*.png"))
+        + glob.glob(os.path.join(seq_dir, "color", "*.jpg"))
+    ):
+        stem = os.path.splitext(os.path.basename(f))[0]
+        pose_p = os.path.join(seq_dir, "poses_ba", stem + ".txt")
+        intr_p = os.path.join(seq_dir, "intrin_ba", stem + ".txt")
+        if not os.path.exists(intr_p):
+            intr_p = os.path.join(seq_dir, "intrin", stem + ".txt")
+        if not os.path.exists(intr_p):
+            continue
+        rec = FrameRecord(
+            img_file=f, K=np.loadtxt(intr_p).reshape(3, 3)
+        )
+        if os.path.exists(pose_p):
+            rec.pose = np.loadtxt(pose_p).reshape(4, 4)
+        recs.append(rec)
+    return recs
+
+
+def inference(cfg) -> None:
+    import jax
+
+    objects = discover_eval_objects(
+        cfg.dataset.data_dir, cfg.dataset.sfm_outputs_dir
+    )
+    if not objects:
+        print(f"no evaluable objects under {cfg.dataset.data_dir}")
+        return
+
+    model = build_onepose_model(dict(cfg.get("model", {}) or {}))
+    weights_path = cfg.get_path("network.onepose_weights")
+    variables = None
+
+    out_dir = cfg.get("output_dir", "results")
+    os.makedirs(out_dir, exist_ok=True)
+    all_R, all_t, per_object = [], [], {}
+
+    for obj_name, seqs, anno_path in objects:
+        ds = OnePosePlusInferenceDataset(
+            anno_path, sequence_records(seqs[-1]), img_size=cfg.dataset.img_resize
+        )
+        if variables is None:
+            if weights_path:
+                variables = load_checkpoint(weights_path)
+            else:
+                print("WARNING: no onepose_weights — random-weight model")
+                f0 = ds[0]
+                s3d = cfg.dataset.shape3d
+                probe = {
+                    "query_image": np.zeros(
+                        (1, cfg.dataset.img_resize, cfg.dataset.img_resize, 1),
+                        np.float32,
+                    ),
+                    "keypoints3d": np.zeros((1, s3d, 3), np.float32),
+                    "descriptors3d": np.zeros((1, s3d, 128), np.float32),
+                    "descriptors3d_coarse": np.zeros((1, s3d, 256), np.float32),
+                }
+                variables = model.init(jax.random.PRNGKey(666), probe, train=False)
+        res = run_inference(
+            model,
+            variables,
+            ds.frames(),
+            ds.annotation,
+            shape3d=cfg.dataset.shape3d,
+            frame_batch=cfg.inference.frame_batch,
+            reproj_threshold_px=cfg.eval_metrics.pnp_reproj_thr,
+            num_hypotheses=cfg.inference.num_hypotheses,
+            pose_thresholds=tuple(cfg.eval_metrics.pose_thresholds),
+        )
+        per_object[obj_name] = res.metrics
+        if res.R_errs is not None:
+            all_R.extend(res.R_errs.tolist())
+            all_t.extend(res.t_errs.tolist())
+        print(f"[{obj_name}] {len(ds)} frames: {res.metrics}")
+
+    summary = aggregate_metrics(
+        all_R, all_t, pose_thresholds=tuple(cfg.eval_metrics.pose_thresholds)
+    )
+    with open(os.path.join(out_dir, "metrics.txt"), "w") as f:
+        for obj, m in per_object.items():
+            f.write(f"{obj}: {json.dumps(m)}\n")
+        f.write(f"ALL: {json.dumps(summary)}\n")
+    print("ALL:", summary)
+
+
+def main() -> None:
+    cfg = load_config(CONFIGS_DIR, sys.argv[1:])
+    if cfg.get("type") is None:
+        raise SystemExit("usage: python inference.py +experiment=<file> [overrides]")
+    globals()[cfg.type](cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,8 @@ class CoarseMatchingConfig:
     train_pad_num_gt_min: int = 200
     # reference quirk: the 2D-3D matcher only removes top/left borders
     border_two_sided: bool = False
+    # None = auto: fused Pallas dual-softmax matching at inference on TPU
+    use_fused_kernel: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

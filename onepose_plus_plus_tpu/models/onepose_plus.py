@@ -95,27 +95,50 @@ class OnePosePlusModel(nn.Module):
         desc3d_c, feat_query_c = self.loftr_coarse(
             desc3d_coarse, feat_query_c, mask1=query_mask
         )
-        conf = dual_softmax_confidence(
-            desc3d_c,
-            feat_query_c,
-            cfg.coarse_matching.temperature,
-            mask1=query_mask,
-            feat_norm=cfg.coarse_matching.feat_norm_method,
-        )
 
         k_slots = (
             cfg.coarse_matching.train_max_matches
             if train
             else cfg.coarse_matching.max_matches
         )
-        matches = select_topk_matches(
-            conf,
-            (h_c, w_c),
-            cfg.coarse_matching.thr,
-            cfg.coarse_matching.border_rm,
-            k_slots - (cfg.coarse_matching.train_pad_num_gt_min if train else 0),
-            border_two_sided=cfg.coarse_matching.border_two_sided,
-        )
+        # fused streaming kernel (never materializes [L, S]) at inference on
+        # TPU; the XLA conf-matrix path at training (losses need the matrix)
+        use_fused = cfg.coarse_matching.use_fused_kernel
+        if use_fused is None:
+            use_fused = (not train) and jax.default_backend() == "tpu"
+        conf = None
+        if use_fused and not train:
+            from ..ops.pallas_matching import fused_select_topk_matches
+
+            matches = fused_select_topk_matches(
+                desc3d_c,
+                feat_query_c,
+                cfg.coarse_matching.temperature,
+                (h_c, w_c),
+                cfg.coarse_matching.thr,
+                cfg.coarse_matching.border_rm,
+                k_slots,
+                border_two_sided=cfg.coarse_matching.border_two_sided,
+                feat_norm=cfg.coarse_matching.feat_norm_method,
+                col_mask=query_mask,
+            )
+        else:
+            conf = dual_softmax_confidence(
+                desc3d_c,
+                feat_query_c,
+                cfg.coarse_matching.temperature,
+                mask1=query_mask,
+                feat_norm=cfg.coarse_matching.feat_norm_method,
+            )
+            matches = select_topk_matches(
+                conf,
+                (h_c, w_c),
+                cfg.coarse_matching.thr,
+                cfg.coarse_matching.border_rm,
+                k_slots
+                - (cfg.coarse_matching.train_pad_num_gt_min if train else 0),
+                border_two_sided=cfg.coarse_matching.border_two_sided,
+            )
         if train:
             matches = pad_matches_with_gt(
                 matches,
@@ -136,7 +159,6 @@ class OnePosePlusModel(nn.Module):
         mkpts_3d = jnp.take_along_axis(kpts3d, matches.i_ids[..., None], axis=1)
 
         out: Dict[str, Any] = {
-            "conf_matrix": conf,
             "i_ids": matches.i_ids,
             "j_ids": matches.j_ids,
             "mconf": matches.mconf,
@@ -147,6 +169,8 @@ class OnePosePlusModel(nn.Module):
             "hw_f": (h_f, w_f),
             "hw_i": (h_i, w_i),
         }
+        if conf is not None:
+            out["conf_matrix"] = conf
 
         if not cfg.fine.enable:
             out["mkpts_query_f"] = mkpts_query_c

@@ -12,3 +12,10 @@ from .checkpoint import (
     convert_torch_state_dict,
     load_torch_checkpoint,
 )
+from .visualization import (
+    project_box_corners,
+    draw_3d_box,
+    save_demo_frame,
+    make_video,
+    save_ply,
+)

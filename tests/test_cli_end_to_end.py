@@ -1,0 +1,139 @@
+"""End-to-end CLI integration: build a tiny synthetic OnePose-format object,
+run the full SfM CLI (run.py) with a random-weight matcher, then the eval CLI
+(inference.py), then merge.py. Exercises object discovery, stage caching, the
+COLMAP-replacement pipeline, annotation building, and metrics.txt."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from synthetic_scenes import make_scene
+
+cv2 = pytest.importorskip("cv2")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_onepose_object(root, obj="0001-toy-box", seq="toy-1", n_frames=6, img=128):
+    """Geometrically consistent synthetic scene: every view renders the SAME
+    textured plane (z=0) through its true plane-induced homography, so any
+    photometric matcher's correspondences satisfy the epipolar geometry."""
+    rng = np.random.default_rng(0)
+    K, pts, Ts = make_scene(rng, n_views=n_frames, n_pts=32, img=float(img))
+    seq_dir = os.path.join(root, obj, seq)
+    for sub in ("color", "intrin_ba", "poses_ba"):
+        os.makedirs(os.path.join(seq_dir, sub), exist_ok=True)
+    tex = (np.kron(rng.random((32, 32)), np.ones((8, 8))) * 255).astype(np.uint8)
+    S = np.array([[256 / 0.8, 0, 128], [0, 256 / 0.8, 128], [0, 0, 1.0]])
+    for i in range(n_frames):
+        R, t = Ts[i][:3, :3], Ts[i][:3, 3]
+        M = K @ np.stack([R[:, 0], R[:, 1], t], axis=1)  # plane->image
+        H = M @ np.linalg.inv(S)
+        im = cv2.warpPerspective(tex, H, (img, img))
+        cv2.imwrite(os.path.join(seq_dir, "color", f"{i}.png"), im)
+        np.savetxt(os.path.join(seq_dir, "intrin_ba", f"{i}.txt"), K)
+        np.savetxt(os.path.join(seq_dir, "poses_ba", f"{i}.txt"), Ts[i])
+    corners = np.array(
+        [[x, y, z] for z in (-0.3, 0.3) for y in (-0.3, 0.3) for x in (-0.3, 0.3)]
+    )
+    np.savetxt(os.path.join(root, obj, "box3d_corners.txt"), corners)
+    return obj
+
+
+def run_cli(script, args, cwd=REPO):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    # persistent compile cache: repeat CLI invocations skip XLA compiles
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    return subprocess.run(
+        [sys.executable, script] + args,
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+
+
+@pytest.mark.slow
+def test_sfm_then_inference_then_merge(tmp_path):
+    data_dir = str(tmp_path / "data")
+    sfm_dir = str(tmp_path / "sfm_outputs")
+    obj = make_onepose_object(data_dir)
+
+    r = run_cli(
+        "run.py",
+        [
+            "+preprocess=sfm_inference_onepose",
+            f"dataset.data_dir={data_dir}",
+            f"dataset.outputs_dir={sfm_dir}",
+            "dataset.down_ratio=1",
+            "sfm.pair_batch=4",
+            "sfm.covis_num=5",
+            "sfm.max_epipolar_error_px=8.0",
+            "model.match_coarse.thr=0.000001",
+        ],
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    anno = os.path.join(sfm_dir, obj, "anno", "anno_3d_average.npz")
+    assert os.path.exists(anno), r.stdout[-2000:]
+    assert os.path.exists(os.path.join(sfm_dir, obj, "model", "cameras.bin"))
+    with np.load(anno) as z:
+        n_pts = len(z["keypoints3d"])
+    assert n_pts > 10, f"too few SfM points: {n_pts}"
+    stats = json.load(open(os.path.join(sfm_dir, obj, "stats.json")))
+    assert stats["num_points3D"] == n_pts
+
+    # second run must reuse cached stages (no overwrite) and still succeed
+    r2 = run_cli(
+        "run.py",
+        [
+            "+preprocess=sfm_inference_onepose",
+            f"dataset.data_dir={data_dir}",
+            f"dataset.outputs_dir={sfm_dir}",
+            "dataset.down_ratio=1",
+        ],
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+
+    out_dir = str(tmp_path / "results")
+    r3 = run_cli(
+        "inference.py",
+        [
+            "+experiment=inference_onepose",
+            f"dataset.data_dir={data_dir}",
+            f"dataset.sfm_outputs_dir={sfm_dir}",
+            "dataset.img_resize=128",
+            "dataset.shape3d=128",
+            "inference.frame_batch=2",
+            "inference.num_hypotheses=64",
+            f"output_dir={out_dir}",
+        ],
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    metrics_txt = os.path.join(out_dir, "metrics.txt")
+    assert os.path.exists(metrics_txt)
+    content = open(metrics_txt).read()
+    assert "ALL:" in content and obj in content
+
+    merged = str(tmp_path / "train_anno.json")
+    r4 = run_cli(
+        "merge.py",
+        [
+            "+preprocess=merge_anno",
+            f"dataset.sfm_outputs_dir={sfm_dir}",
+            f"dataset.out_train_file={merged}",
+            "dataset.out_val_file=null",
+        ],
+    )
+    assert r4.returncode == 0, r4.stderr[-3000:]
+    blob = json.load(open(merged))
+    assert len(blob["images"]) > 0
+    assert blob["annotations"][0]["avg_anno3d_file"].endswith("anno_3d_average.npz")

@@ -1,0 +1,191 @@
+"""Training CLI — `python train_onepose_plus.py +experiment=train.yaml`.
+
+CLI-parity entry point for reference ``train_onepose_plus.py``: LR/world-size
+scaling, fine-loss-weight autoscale, epoch loop with MultiStep LR, TensorBoard
+scalars, per-epoch orbax checkpoints (save_top_k=-1 + last, reference
+``train.yaml:204-213``). PL + NCCL DDP is replaced by a jit-compiled SPMD
+train step over a ``Mesh(('data',))`` with the batch sharded over devices.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from onepose_plus_plus_tpu.data.dataset import (
+    OnePosePlusTrainDataset,
+    TrainLoader,
+    load_manifest,
+    records_from_coco,
+)
+from onepose_plus_plus_tpu.data.augment import build_augmentor
+from onepose_plus_plus_tpu.models.build import onepose_config_from_dict
+from onepose_plus_plus_tpu.train.losses import LossConfig
+from onepose_plus_plus_tpu.train.train_step import (
+    TrainConfig,
+    create_train_state,
+    train_step,
+)
+from onepose_plus_plus_tpu.utils import load_config, save_checkpoint
+
+CONFIGS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
+
+
+def load_records(path: str):
+    with open(path) as f:
+        head = f.read(512)
+    if '"images"' in head and '"annotations"' in head:
+        return records_from_coco(path)
+    return load_manifest(path)
+
+
+def train(cfg) -> None:
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_plus_plus_tpu.parallel.mesh import (
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+
+    np.random.seed(cfg.seed)
+    devices = jax.devices()
+    n_dev = cfg.trainer.n_devices
+    if n_dev in (-1, None):
+        n_dev = len(devices)
+    devices = devices[:n_dev]
+
+    per_dev_bs = cfg.trainer.batch_size
+    world_bs = per_dev_bs * len(devices)
+    # reference LR rule (train_onepose_plus.py:35-39)
+    train_cfg = TrainConfig(
+        canonical_lr=cfg.trainer.canonical_lr,
+        canonical_bs=cfg.trainer.canonical_bs,
+        weight_decay=cfg.trainer.wd,
+        milestones=tuple(cfg.trainer.milestones),
+        gamma=cfg.trainer.gamma,
+        loss=LossConfig(
+            coarse_weight=cfg.loss.coarse_weight,
+            fine_weight=cfg.loss.fine_weight_base,  # autoscale in compute_losses
+        ),
+    )
+    print(
+        f"devices={len(devices)} world_bs={world_bs} "
+        f"true_lr={train_cfg.true_lr(world_bs):.2e}"
+    )
+
+    records = load_records(cfg.dataset.train_anno_file)
+    dataset = OnePosePlusTrainDataset(
+        records,
+        img_size=cfg.dataset.img_resize,
+        shape3d=cfg.dataset.shape3d_train,
+        image_warp_adapt=cfg.dataset.image_warp_adapt,
+        augmentor=build_augmentor(cfg.dataset.augmentor, cfg.seed),
+        seed=cfg.seed,
+    )
+    loader = TrainLoader(dataset, batch_size=world_bs, seed=cfg.seed)
+    steps_per_epoch = max(1, len(dataset) // world_bs)
+
+    model_cfg = onepose_config_from_dict(dict(cfg.get("model", {}) or {}))
+    sample = next(loader.epoch(0))
+    jb = {
+        k: jnp.asarray(v)
+        for k, v in sample.items()
+        if k
+        in (
+            "query_image",
+            "keypoints3d",
+            "descriptors3d",
+            "descriptors3d_coarse",
+            "gt_cell",
+            "gt_fine_xy",
+        )
+    }
+    rng = jax.random.PRNGKey(cfg.seed)
+    model, state = create_train_state(
+        rng, model_cfg, train_cfg, jb, world_bs, steps_per_epoch
+    )
+
+    mesh = make_mesh(devices)
+    step_fn = jax.jit(functools.partial(train_step, model, train_cfg=train_cfg))
+
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(cfg.log_dir, cfg.exp_name))
+    except Exception:
+        pass
+
+    ckpt_dir = os.path.join(cfg.ckpt_dir, cfg.exp_name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    with mesh:
+        state = state.replace(
+            params=replicate(state.params, mesh),
+            batch_stats=replicate(state.batch_stats, mesh),
+            opt_state=replicate(state.opt_state, mesh),
+            step=replicate(state.step, mesh),
+        )
+        global_step = 0
+        for epoch in range(cfg.trainer.epochs):
+            t0 = time.time()
+            for batch in loader.epoch(epoch):
+                jbatch = shard_batch(
+                    {
+                        k: v
+                        for k, v in batch.items()
+                        if k
+                        in (
+                            "query_image",
+                            "keypoints3d",
+                            "descriptors3d",
+                            "descriptors3d_coarse",
+                            "gt_cell",
+                            "gt_fine_xy",
+                        )
+                    },
+                    mesh,
+                )
+                rng, sub = jax.random.split(rng)
+                state, scalars = step_fn(state, jbatch, sub)
+                global_step += 1
+                if global_step % 50 == 0 or global_step == 1:
+                    loss = float(scalars["loss"])
+                    print(
+                        f"epoch {epoch} step {global_step} loss {loss:.4f} "
+                        f"({time.time() - t0:.1f}s)"
+                    )
+                    if writer:
+                        for k, v in scalars.items():
+                            writer.add_scalar(f"train/{k}", float(v), global_step)
+            # per-epoch checkpoint (reference save_top_k=-1 + last)
+            save_checkpoint(
+                os.path.join(ckpt_dir, f"epoch_{epoch}"),
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+            save_checkpoint(
+                os.path.join(ckpt_dir, "last"),
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+            print(f"epoch {epoch} done in {time.time() - t0:.1f}s -> {ckpt_dir}")
+    if writer:
+        writer.close()
+
+
+def main() -> None:
+    cfg = load_config(CONFIGS_DIR, sys.argv[1:])
+    if cfg.get("type") is None:
+        raise SystemExit(
+            "usage: python train_onepose_plus.py +experiment=train.yaml [overrides]"
+        )
+    globals()[cfg.type](cfg)
+
+
+if __name__ == "__main__":
+    main()
