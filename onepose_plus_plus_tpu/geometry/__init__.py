@@ -30,3 +30,8 @@ from .triangulation import (
 from .pnp import PnPResult, ransac_pnp, ransac_pnp_batch
 from .levenberg_marquardt import lm_solve, lm_solve_scalar, first_order_solve
 from .residuals import depth_residual_track, unproject
+from .bundle_adjust import (
+    refine_extrinsics,
+    estimate_relative_pose,
+    RelativePose,
+)

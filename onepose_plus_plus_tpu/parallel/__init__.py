@@ -15,3 +15,11 @@ __all__ = [
     "replicate",
     "all_gather_metrics",
 ]
+from .comm import (
+    world_size,
+    rank,
+    is_main_process,
+    all_gather_arrays,
+    all_gather_objects,
+    gather_metrics,
+)

@@ -20,3 +20,5 @@ from .filtering import (
     merge_close_points,
 )
 from .annotation import average_track_descriptors, build_assign_matrix, build_annotations
+from .incremental import incremental_sfm
+from .runner import SfMConfig, run_sfm, extract_keypoint_descriptors
