@@ -117,6 +117,48 @@ def inference(cfg) -> None:
             num_hypotheses=cfg.inference.num_hypotheses,
             pose_thresholds=tuple(cfg.eval_metrics.pose_thresholds),
         )
+        # ADD(S)-0.1d + proj2D metrics against a CAD model (LINEMOD path,
+        # reference inference_LINEMOD.yaml: eval_ADD_metric)
+        if cfg.get_path("eval_metrics.eval_ADD_metric") and res.R_errs is not None:
+            from onepose_plus_plus_tpu.eval import (
+                SYMMETRIC_OBJ_IDS,
+                add_metric,
+                load_cad_for_eval,
+                projection_2d_error,
+            )
+
+            cad_dir = cfg.get_path("dataset.cad_models_dir", "")
+            obj_id = obj_name.split("-")[0]
+            cad_path = os.path.join(cad_dir, f"{obj_name}.ply")
+            if not os.path.exists(cad_path):
+                cad_path = os.path.join(cad_dir, f"{obj_id}.ply")
+            if os.path.exists(cad_path):
+                model_pts, diameter = load_cad_for_eval(
+                    cad_path, unit_scale=cfg.get_path("dataset.cad_unit_scale", 1.0)
+                )
+                symmetric = obj_id in SYMMETRIC_OBJ_IDS
+                add_flags, proj_flags = [], []
+                for fi, f in enumerate(ds.frames()):
+                    if "pose_gt" not in f:
+                        continue
+                    add_flags.append(
+                        add_metric(
+                            res.poses[fi], f["pose_gt"], model_pts, diameter,
+                            symmetric=symmetric,
+                        )
+                    )
+                    proj_flags.append(
+                        projection_2d_error(
+                            res.poses[fi], f["pose_gt"], model_pts, f["K"]
+                        )
+                    )
+                res.metrics = aggregate_metrics(
+                    res.R_errs,
+                    res.t_errs,
+                    add_flags=add_flags,
+                    proj2d_flags=proj_flags,
+                    pose_thresholds=tuple(cfg.eval_metrics.pose_thresholds),
+                )
         per_object[obj_name] = res.metrics
         if res.R_errs is not None:
             all_R.extend(res.R_errs.tolist())

@@ -97,6 +97,7 @@ def run_inference(
     num_hypotheses: int = 512,
     pose_thresholds=(1, 3, 5),
     rng_seed: int = 0,
+    mesh=None,
 ) -> InferenceResult:
     """Run the batched query pipeline over an object's frames.
 
@@ -107,6 +108,9 @@ def run_inference(
             ``descriptors3d`` [m, 128], plus optional
             ``descriptors3d_coarse`` [m, 256] (reference
             anno_3d_average[_coarse].npz pair).
+        mesh: optional ``jax.sharding.Mesh`` — the frame batch is sharded over
+            the data axis and the jitted step runs SPMD across all chips
+            (frame_batch must be a multiple of the mesh size).
     """
     from ..data.preprocessing import pad_point_cloud
 
@@ -167,6 +171,12 @@ def run_inference(
             if has_gt
             else None
         )
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, mesh)
+            if gt is not None:
+                gt = shard_batch({"gt": gt}, mesh)["gt"]
         rng, sub = jax.random.split(rng)
         p, ni, ok, re, te = step(batch, sub, gt)
         n = len(chunk)

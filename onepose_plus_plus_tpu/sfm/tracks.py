@@ -6,9 +6,11 @@ is an edge. A vectorized union-find with path halving merges connected
 components into tracks. Conflicting tracks (two observations in the same
 image) are split COLMAP-style by dropping the weaker observation.
 
-Complexity is ~alpha(N) per edge; for reference-scale scenes (hundreds of
-images x thousands of keypoints) this is milliseconds of host time — no C++
-needed (SURVEY.md §2.4 contingency).
+Complexity is ~alpha(N) per edge. The per-edge union loop is the host-side
+hot path at production scale (millions of edges), so it runs in C++
+(``native/track_builder.cpp`` via ctypes, built on demand with make/g++);
+the pure-numpy fallback keeps the module dependency-free and is used when the
+toolchain is absent. Both paths produce identical tracks.
 """
 from __future__ import annotations
 
@@ -43,13 +45,63 @@ class UnionFind:
         self.size[ra] += self.size[rb]
 
 
+def _roots_python(
+    total: int, edge_a: np.ndarray, edge_b: np.ndarray, confs: np.ndarray
+):
+    """Pure-python union-find fallback: (roots [total], node_conf [total])."""
+    uf = UnionFind(total)
+    node_conf = np.zeros(total)
+    np.add.at(node_conf, edge_a, confs)
+    np.add.at(node_conf, edge_b, confs)
+    for aa, bb in zip(edge_a, edge_b):
+        uf.union(int(aa), int(bb))
+    roots = np.fromiter(
+        (uf.find(x) for x in range(total)), dtype=np.int64, count=total
+    )
+    return roots, node_conf, uf.size[roots]  # component size per node
+
+
+def _roots_native(
+    total: int, edge_a: np.ndarray, edge_b: np.ndarray, confs: np.ndarray
+):
+    """C++ union-find via ctypes (None when the library is unavailable)."""
+    import ctypes
+
+    from ..native.build import load_track_builder
+
+    lib = load_track_builder()
+    if lib is None:
+        return None
+    ea = np.ascontiguousarray(edge_a, np.int64)
+    eb = np.ascontiguousarray(edge_b, np.int64)
+    ec = np.ascontiguousarray(confs, np.float64)
+    roots = np.empty(total, np.int64)
+    node_conf = np.empty(total, np.float64)
+    as_p = lambda arr, t: arr.ctypes.data_as(ctypes.POINTER(t))
+    lib.build_tracks_uf(
+        total,
+        len(ea),
+        as_p(ea, ctypes.c_int64),
+        as_p(eb, ctypes.c_int64),
+        as_p(ec, ctypes.c_double),
+        as_p(roots, ctypes.c_int64),
+        as_p(node_conf, ctypes.c_double),
+    )
+    sizes = np.bincount(roots, minlength=total)
+    return roots, node_conf, sizes[roots]  # component size per node
+
+
 def build_tracks(
     keypoint_counts: Dict[int, int],
     match_indices: Dict[Pair, np.ndarray],
     match_confs: Dict[Pair, np.ndarray] = None,
     min_track_length: int = 2,
+    use_native: bool = True,
 ) -> List[Dict[int, int]]:
     """Union pairwise index matches into tracks.
+
+    Uses the C++ union-find (``native/track_builder.cpp``) when available;
+    pure-numpy fallback otherwise. Identical outputs.
 
     Args:
         keypoint_counts: img_id -> number of keypoints.
@@ -67,26 +119,25 @@ def build_tracks(
     for i in img_ids:
         offsets[i] = total
         total += keypoint_counts[i]
-    uf = UnionFind(total)
 
-    node_conf = np.zeros(total)  # summed edge confidence per node
+    # flatten all edges
+    ea_list, eb_list, ec_list = [], [], []
     for (i, j), m in match_indices.items():
         confs = (
-            match_confs[(i, j)]
-            if match_confs is not None
-            else np.ones(len(m))
+            match_confs[(i, j)] if match_confs is not None else np.ones(len(m))
         )
-        a = offsets[i] + m[:, 0]
-        b = offsets[j] + m[:, 1]
-        np.add.at(node_conf, a, confs)
-        np.add.at(node_conf, b, confs)
-        for aa, bb in zip(a, b):
-            uf.union(int(aa), int(bb))
+        ea_list.append(offsets[i] + m[:, 0])
+        eb_list.append(offsets[j] + m[:, 1])
+        ec_list.append(confs)
+    edge_a = np.concatenate(ea_list) if ea_list else np.zeros(0, np.int64)
+    edge_b = np.concatenate(eb_list) if eb_list else np.zeros(0, np.int64)
+    confs = np.concatenate(ec_list) if ec_list else np.zeros(0)
 
-    # gather components
-    roots = np.fromiter(
-        (uf.find(x) for x in range(total)), dtype=np.int64, count=total
-    )
+    result = _roots_native(total, edge_a, edge_b, confs) if use_native else None
+    if result is None:
+        roots, node_conf, root_size = _roots_python(total, edge_a, edge_b, confs)
+    else:
+        roots, node_conf, root_size = result
     # node -> (img, kpt)
     node_img = np.empty(total, np.int64)
     node_kpt = np.empty(total, np.int64)
@@ -98,7 +149,7 @@ def build_tracks(
 
     comp: Dict[int, List[int]] = {}
     # only touch nodes that participate in a merged component
-    active = np.flatnonzero(uf.size[roots] >= min_track_length)
+    active = np.flatnonzero(root_size >= min_track_length)
     for x in active:
         comp.setdefault(int(roots[x]), []).append(int(x))
 

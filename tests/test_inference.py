@@ -200,3 +200,35 @@ class TestRunInference:
         res = run_inference(model, {}, frames, anno, shape3d=400, frame_batch=2)
         assert res.metrics is None and res.R_errs is None
         assert res.poses.shape == (2, 4, 4)
+
+
+class TestMeshSharding:
+    def test_run_inference_on_8_device_mesh(self):
+        import jax
+
+        from onepose_plus_plus_tpu.parallel.mesh import make_mesh
+        from synthetic_scenes import make_scene
+
+        rng = np.random.default_rng(5)
+        K, pts, Ts = make_scene(rng, n_views=8, n_pts=300)
+        anno = {
+            "keypoints3d": pts.astype(np.float32),
+            "descriptors3d": rng.standard_normal((300, 8)).astype(np.float32),
+        }
+        frames = [
+            {
+                "image": np.zeros((64, 64), np.float32),
+                "K": K.astype(np.float32),
+                "pose_gt": Ts[i].astype(np.float32),
+            }
+            for i in range(8)
+        ]
+        model = MockMatcherModel([Ts[i] for i in range(8)])
+        mesh = make_mesh(jax.devices()[:8])
+        res = run_inference(
+            model, {}, frames, anno, shape3d=320, frame_batch=8, mesh=mesh,
+            reproj_threshold_px=3.0,
+        )
+        assert res.poses.shape == (8, 4, 4)
+        assert res.ok.all()
+        assert res.metrics["5cm@5degree"] == 1.0

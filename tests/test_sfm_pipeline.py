@@ -211,3 +211,24 @@ class TestTriangulateScene:
         # image poses round-trip to the input world->cam transforms
         for i, im in imgs.items():
             np.testing.assert_allclose(im.T()[:3], Ts[i][:3], atol=1e-6)
+
+
+class TestNativeTrackBuilder:
+    def test_native_matches_python(self):
+        rng = np.random.default_rng(11)
+        counts = {i: 50 for i in range(6)}
+        matches, confs = {}, {}
+        for i in range(6):
+            for j in range(i + 1, 6):
+                m = rng.integers(0, 50, (30, 2))
+                matches[(i, j)] = m
+                confs[(i, j)] = rng.random(30)
+        t_native = build_tracks(counts, matches, confs, use_native=True)
+        t_python = build_tracks(counts, matches, confs, use_native=False)
+        key = lambda tr: tuple(sorted(tr.items()))
+        assert sorted(map(key, t_native)) == sorted(map(key, t_python))
+
+    def test_native_library_builds(self):
+        from onepose_plus_plus_tpu.native.build import load_track_builder
+
+        assert load_track_builder() is not None
