@@ -51,9 +51,16 @@ def main():
         ),
     }
 
-    cfg = OnePosePlusConfig(coarse_matching=CoarseMatchingConfig(max_matches=512))
+    cfg = OnePosePlusConfig(
+        compute_dtype="bfloat16",
+        coarse_matching=CoarseMatchingConfig(max_matches=512),
+    )
     model = OnePosePlusModel(cfg)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    # jit the init: un-jitted flax init dispatches each op separately, which
+    # is pathological over a remote-device tunnel
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch
+    )
 
     # The iteration index perturbs the input ON DEVICE (defeats any
     # identical-execution result caching in the device tunnel) and the scalar

@@ -22,6 +22,7 @@ class ResNetFPNConfig:
 class TransformerConfig:
     d_model: int = 256
     nhead: int = 8
+    compute_dtype: str = "float32"
     layer_names: Tuple[str, ...] = ("self", "cross")
     layer_iter_n: int = 3
     attention: str = "linear"  # 'linear' | 'full'
@@ -70,6 +71,9 @@ class KeypointEncodingConfig:
 class OnePosePlusConfig:
     """The 2D-3D 'GATs-LoFTR' matcher (reference OnePosePlusModel.py:25-201)."""
 
+    # 'bfloat16' runs backbone + transformers on the MXU at half traffic
+    # (params stay f32; matching/softmax numerics stay f32)
+    compute_dtype: str = "float32"
     backbone: ResNetFPNConfig = ResNetFPNConfig()
     # coarse/fine feature resolutions (1/8, 1/2 of input)
     resolution: Tuple[int, int] = (8, 2)
@@ -86,6 +90,7 @@ class OnePosePlusConfig:
 class LoFTRConfig:
     """The image-pair detector-free matcher (LoFTR submodule replacement)."""
 
+    compute_dtype: str = "float32"
     backbone: ResNetFPNConfig = ResNetFPNConfig()
     resolution: Tuple[int, int] = (8, 2)
     pe_temp_bug_fix: bool = False

@@ -38,3 +38,9 @@ from .dataset import (
     batch_examples,
 )
 from .augment import build_augmentor, DarkAug, MobileAug
+from .colmap_database import (
+    COLMAPDatabase,
+    export_scene_to_database,
+    pair_id_from_image_ids,
+    image_ids_from_pair_id,
+)

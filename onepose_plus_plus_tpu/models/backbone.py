@@ -19,7 +19,13 @@ from ..ops.upsample import upsample2x_align_corners
 _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
-def _conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
+def _conv(
+    features: int,
+    kernel: int,
+    stride: int = 1,
+    name: str | None = None,
+    dtype=jnp.float32,
+):
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -28,11 +34,14 @@ def _conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
         use_bias=False,
         kernel_init=_KAIMING,
         name=name,
+        dtype=dtype,
     )
 
 
 class _BN(nn.Module):
     """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1)."""
+
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -42,41 +51,46 @@ class _BN(nn.Module):
             epsilon=1e-5,
             scale_init=nn.initializers.ones,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )(x)
 
 
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = _conv(self.planes, 3, self.stride, name="conv1")(x)
-        y = _BN(name="bn1")(y, train)
+        dt = self.dtype
+        y = _conv(self.planes, 3, self.stride, name="conv1", dtype=dt)(x)
+        y = _BN(name="bn1", dtype=dt)(y, train)
         y = nn.relu(y)
-        y = _conv(self.planes, 3, name="conv2")(y)
-        y = _BN(name="bn2")(y, train)
+        y = _conv(self.planes, 3, name="conv2", dtype=dt)(y)
+        y = _BN(name="bn2", dtype=dt)(y, train)
         if self.stride != 1:
-            x = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
-            x = _BN(name="downsample_bn")(x, train)
+            x = _conv(self.planes, 1, self.stride, name="downsample_conv", dtype=dt)(x)
+            x = _BN(name="downsample_bn", dtype=dt)(x, train)
         return nn.relu(x + y)
 
 
 class BottleneckBlock(nn.Module):
     planes: int
     stride: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = _conv(self.planes // 4, 1, name="conv1")(x)
-        y = nn.relu(_BN(name="bn1")(y, train))
-        y = _conv(self.planes // 4, 3, self.stride, name="conv2")(y)
-        y = nn.relu(_BN(name="bn2")(y, train))
-        y = _conv(self.planes, 1, name="conv3")(y)
-        y = _BN(name="bn3")(y, train)
+        dt = self.dtype
+        y = _conv(self.planes // 4, 1, name="conv1", dtype=dt)(x)
+        y = nn.relu(_BN(name="bn1", dtype=dt)(y, train))
+        y = _conv(self.planes // 4, 3, self.stride, name="conv2", dtype=dt)(y)
+        y = nn.relu(_BN(name="bn2", dtype=dt)(y, train))
+        y = _conv(self.planes, 1, name="conv3", dtype=dt)(y)
+        y = _BN(name="bn3", dtype=dt)(y, train)
         if self.stride != 1:
-            x = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
-            x = _BN(name="downsample_bn")(x, train)
+            x = _conv(self.planes, 1, self.stride, name="downsample_conv", dtype=dt)(x)
+            x = _BN(name="downsample_bn", dtype=dt)(x, train)
         return nn.relu(x + y)
 
 
@@ -88,13 +102,14 @@ class _OutConv2(nn.Module):
 
     mid: int
     out: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = _conv(self.mid, 3, name="conv1")(x)
-        x = _BN(name="bn")(x, train)
+        x = _conv(self.mid, 3, name="conv1", dtype=self.dtype)(x)
+        x = _BN(name="bn", dtype=self.dtype)(x, train)
         x = nn.leaky_relu(x, negative_slope=0.01)
-        return _conv(self.out, 3, name="conv2")(x)
+        return _conv(self.out, 3, name="conv2", dtype=self.dtype)(x)
 
 
 class ResNetFPN_8_2(nn.Module):
@@ -105,32 +120,40 @@ class ResNetFPN_8_2(nn.Module):
     """
 
     cfg: ResNetFPNConfig = ResNetFPNConfig()
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         block = _BLOCKS[self.cfg.block_type]
         d0, d1, d2 = self.cfg.block_dims
+        dt = self.dtype
+        x = x.astype(dt)
 
-        x0 = _conv(self.cfg.initial_dim, 7, 2, name="conv1")(x)
-        x0 = nn.relu(_BN(name="bn1")(x0, train))  # 1/2
+        x0 = _conv(self.cfg.initial_dim, 7, 2, name="conv1", dtype=dt)(x)
+        x0 = nn.relu(_BN(name="bn1", dtype=dt)(x0, train))  # 1/2
 
         def layer(planes, stride, name, h):
-            h = block(planes, stride, name=f"{name}_0")(h, train)
-            return block(planes, 1, name=f"{name}_1")(h, train)
+            h = block(planes, stride, name=f"{name}_0", dtype=dt)(h, train)
+            return block(planes, 1, name=f"{name}_1", dtype=dt)(h, train)
 
         x1 = layer(d0, 1, "layer1", x0)  # 1/2
         x2 = layer(d1, 2, "layer2", x1)  # 1/4
         x3 = layer(d2, 2, "layer3", x2)  # 1/8
 
         # FPN top-down
-        x3_out = _conv(d2, 1, name="layer3_outconv")(x3)
+        x3_out = _conv(d2, 1, name="layer3_outconv", dtype=dt)(x3)
 
         x3_up = upsample2x_align_corners(x3_out)
-        x2_out = _conv(d2, 1, name="layer2_outconv")(x2)
-        x2_out = _OutConv2(d2, d1, name="layer2_outconv2")(x2_out + x3_up, train)
+        x2_out = _conv(d2, 1, name="layer2_outconv", dtype=dt)(x2)
+        x2_out = _OutConv2(d2, d1, name="layer2_outconv2", dtype=dt)(
+            x2_out + x3_up, train
+        )
 
         x2_up = upsample2x_align_corners(x2_out)
-        x1_out = _conv(d1, 1, name="layer1_outconv")(x1)
-        x1_out = _OutConv2(d1, d0, name="layer1_outconv2")(x1_out + x2_up, train)
+        x1_out = _conv(d1, 1, name="layer1_outconv", dtype=dt)(x1)
+        x1_out = _OutConv2(d1, d0, name="layer1_outconv2", dtype=dt)(
+            x1_out + x2_up, train
+        )
 
-        return x3_out, x1_out
+        # downstream matching numerics run in f32
+        return x3_out.astype(jnp.float32), x1_out.astype(jnp.float32)

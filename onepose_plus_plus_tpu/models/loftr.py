@@ -65,9 +65,18 @@ class LoFTRMatcher(nn.Module):
     cfg: LoFTRConfig = LoFTRConfig()
 
     def setup(self):
-        self.backbone = ResNetFPN_8_2(self.cfg.backbone)
-        self.loftr_coarse = LocalFeatureTransformer(self.cfg.coarse)
-        self.loftr_fine = LocalFeatureTransformer(self.cfg.fine)
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        dt = getattr(jnp, self.cfg.compute_dtype, jnp.float32)
+        self.backbone = ResNetFPN_8_2(self.cfg.backbone, dtype=dt)
+        self.loftr_coarse = LocalFeatureTransformer(
+            _dc.replace(self.cfg.coarse, compute_dtype=self.cfg.compute_dtype)
+        )
+        self.loftr_fine = LocalFeatureTransformer(
+            _dc.replace(self.cfg.fine, compute_dtype=self.cfg.compute_dtype)
+        )
 
     # ------------------------------------------------------------------ #
     # building blocks

@@ -54,16 +54,25 @@ class OnePosePlusModel(nn.Module):
     cfg: OnePosePlusConfig = OnePosePlusConfig()
 
     def setup(self):
-        self.backbone = ResNetFPN_8_2(self.cfg.backbone)
+        import dataclasses as _dc
+
+        dt = getattr(jnp, self.cfg.compute_dtype, jnp.float32)
+        self.backbone = ResNetFPN_8_2(self.cfg.backbone, dtype=dt)
         if self.cfg.keypoints_encoding.enable:
             self.kpt_encoder = KeypointEncoder(
                 layers=self.cfg.keypoints_encoding.layers,
                 feature_dim=self.cfg.keypoints_encoding.descriptor_dim,
                 norm_method=self.cfg.keypoints_encoding.norm_method,
             )
-        self.loftr_coarse = LocalFeatureTransformer(self.cfg.coarse)
+        coarse_cfg = _dc.replace(
+            self.cfg.coarse, compute_dtype=self.cfg.compute_dtype
+        )
+        self.loftr_coarse = LocalFeatureTransformer(coarse_cfg)
         if self.cfg.fine.enable:
-            self.loftr_fine = LocalFeatureTransformer(self.cfg.fine.transformer)
+            fine_cfg = _dc.replace(
+                self.cfg.fine.transformer, compute_dtype=self.cfg.compute_dtype
+            )
+            self.loftr_fine = LocalFeatureTransformer(fine_cfg)
 
     def __call__(
         self, batch: Dict[str, jnp.ndarray], train: bool = False

@@ -21,6 +21,7 @@ class LoFTREncoderLayer(nn.Module):
     d_model: int
     nhead: int
     attention: str = "linear"
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -33,27 +34,29 @@ class LoFTREncoderLayer(nn.Module):
         """x [N, L, C] attends to source [N, S, C]."""
         n, l, c = x.shape
         dim = self.d_model // self.nhead
+        dt = self.dtype
 
-        q = nn.Dense(self.d_model, use_bias=False, name="q_proj")(x)
-        k = nn.Dense(self.d_model, use_bias=False, name="k_proj")(source)
-        v = nn.Dense(self.d_model, use_bias=False, name="v_proj")(source)
+        q = nn.Dense(self.d_model, use_bias=False, name="q_proj", dtype=dt)(x)
+        k = nn.Dense(self.d_model, use_bias=False, name="k_proj", dtype=dt)(source)
+        v = nn.Dense(self.d_model, use_bias=False, name="v_proj", dtype=dt)(source)
         q = q.reshape(n, l, self.nhead, dim)
         k = k.reshape(n, source.shape[1], self.nhead, dim)
         v = v.reshape(n, source.shape[1], self.nhead, dim)
 
         attn = linear_attention if self.attention == "linear" else full_attention
         message = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
-        message = nn.Dense(self.d_model, use_bias=False, name="merge")(
-            message.reshape(n, l, self.d_model)
+        message = nn.Dense(self.d_model, use_bias=False, name="merge", dtype=dt)(
+            message.reshape(n, l, self.d_model).astype(dt)
         )
-        message = nn.LayerNorm(name="norm1")(message)
+        # LayerNorms stay f32 for numerical stability
+        message = nn.LayerNorm(name="norm1", dtype=jnp.float32)(message)
 
-        message = nn.Dense(2 * self.d_model, use_bias=False, name="mlp_0")(
-            jnp.concatenate([x, message], axis=-1)
+        message = nn.Dense(2 * self.d_model, use_bias=False, name="mlp_0", dtype=dt)(
+            jnp.concatenate([x.astype(jnp.float32), message], axis=-1)
         )
         message = nn.relu(message)
-        message = nn.Dense(self.d_model, use_bias=False, name="mlp_1")(message)
-        message = nn.LayerNorm(name="norm2")(message)
+        message = nn.Dense(self.d_model, use_bias=False, name="mlp_1", dtype=dt)(message)
+        message = nn.LayerNorm(name="norm2", dtype=jnp.float32)(message)
 
         return x + message
 
@@ -77,11 +80,13 @@ class LocalFeatureTransformer(nn.Module):
         stream (feat1) carries a padding mask in the 2D-3D matcher; the
         image-pair matcher may mask both.
         """
+        dt = getattr(jnp, self.cfg.compute_dtype, jnp.float32)
         for idx, name in enumerate(self.cfg.layer_sequence):
             layer = LoFTREncoderLayer(
                 self.cfg.d_model,
                 self.cfg.nhead,
                 self.cfg.attention,
+                dtype=dt,
                 name=f"layer_{idx}",
             )
             if name == "self":

@@ -52,12 +52,26 @@ def linear_attention(
 
     v_length = v.shape[1]
     v_scaled = v / v_length
-    # KV: [N, H, D, D_v] — one matmul per head, MXU-friendly.
-    KV = jnp.einsum("nshd,nshv->nhdv", K, v_scaled)
+    # KV: [N, H, D, D_v] — one matmul per head, MXU-friendly. Accumulate in
+    # f32 even when inputs are bf16 (preferred_element_type).
+    KV = jnp.einsum(
+        "nshd,nshv->nhdv", K, v_scaled, preferred_element_type=jnp.float32
+    )
     # Normalizer Z: [N, L, H]
-    K_sum = jnp.sum(K, axis=1)  # [N, H, D]
-    Z = 1.0 / (jnp.einsum("nlhd,nhd->nlh", Q, K_sum) + eps)
-    out = jnp.einsum("nlhd,nhdv->nlhv", Q, KV) * Z[..., None] * v_length
+    K_sum = jnp.sum(K.astype(jnp.float32), axis=1)  # [N, H, D]
+    Z = 1.0 / (
+        jnp.einsum(
+            "nlhd,nhd->nlh", Q, K_sum, preferred_element_type=jnp.float32
+        )
+        + eps
+    )
+    out = (
+        jnp.einsum(
+            "nlhd,nhdv->nlhv", Q, KV, preferred_element_type=jnp.float32
+        )
+        * Z[..., None]
+        * v_length
+    )
     return out
 
 

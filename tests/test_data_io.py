@@ -254,3 +254,46 @@ class TestMetrics:
         assert m["3cm@3degree"] == 0.5
         assert m["5cm@5degree"] == 0.75
         assert m["ADD metric"] == 0.5
+
+
+class TestColmapDatabase:
+    def test_roundtrip_and_pair_ids(self, tmp_path):
+        from onepose_plus_plus_tpu.data import (
+            COLMAPDatabase,
+            image_ids_from_pair_id,
+            pair_id_from_image_ids,
+        )
+
+        pid = pair_id_from_image_ids(7, 3)
+        assert image_ids_from_pair_id(pid) == (3, 7)
+
+        db = COLMAPDatabase(str(tmp_path / "scene.db"))
+        cam = db.add_camera(1, 640, 480, [500.0, 500.0, 320.0, 240.0])
+        i1 = db.add_image("a.png", cam)
+        i2 = db.add_image("b.png", cam)
+        kp = np.random.default_rng(0).uniform(0, 640, (20, 2)).astype(np.float32)
+        db.add_keypoints(i1, kp)
+        m = np.array([[0, 5], [3, 2]], np.uint32)
+        db.add_matches(i2, i1, m)  # reversed order exercises the swap
+        db.commit()
+        np.testing.assert_allclose(db.read_keypoints(i1), kp)
+        np.testing.assert_array_equal(db.read_matches(i2, i1), m)
+        np.testing.assert_array_equal(db.read_matches(i1, i2), m[:, ::-1])
+        assert db.read_images() == {i1: "a.png", i2: "b.png"}
+        db.close()
+
+    def test_export_scene(self, tmp_path):
+        from onepose_plus_plus_tpu.data import COLMAPDatabase, export_scene_to_database
+
+        kpts = {0: np.zeros((4, 2)), 1: np.ones((3, 2))}
+        matches = {(0, 1): np.array([[0, 1], [2, 2]])}
+        Ks = {i: np.eye(3) * 500 for i in (0, 1)}
+        sizes = {i: (480, 640) for i in (0, 1)}
+        p = str(tmp_path / "exp.db")
+        export_scene_to_database(p, kpts, matches, Ks, sizes)
+        db = COLMAPDatabase(p)
+        imgs = db.read_images()
+        assert len(imgs) == 2
+        kp = db.read_keypoints(1)
+        np.testing.assert_allclose(kp, 0.5)  # +0.5 COLMAP offset applied
+        db.close()

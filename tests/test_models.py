@@ -152,3 +152,50 @@ def test_matching_self_consistency_identical_images():
         j_ids = np.asarray(out["j_ids"][0])[mask]
         # self-matching: the dominant correspondence is the identity
         assert (i_ids == j_ids).mean() > 0.5
+
+
+class TestComputeDtype:
+    def test_bf16_matches_f32_forward(self):
+        """bf16 compute path must agree with f32 on match selection."""
+        import numpy as np
+
+        from onepose_plus_plus_tpu.config import (
+            CoarseMatchingConfig,
+            OnePosePlusConfig,
+        )
+        from onepose_plus_plus_tpu.models.onepose_plus import OnePosePlusModel
+
+        rng = np.random.default_rng(0)
+        batch = {
+            "query_image": jnp.asarray(rng.random((1, 64, 64, 1), np.float32)),
+            "keypoints3d": jnp.asarray(
+                rng.standard_normal((1, 96, 3)).astype(np.float32)
+            ),
+            "descriptors3d": jnp.asarray(
+                rng.standard_normal((1, 96, 128)).astype(np.float32)
+            ),
+            "descriptors3d_coarse": jnp.asarray(
+                rng.standard_normal((1, 96, 256)).astype(np.float32)
+            ),
+        }
+        outs = {}
+        for dt in ("float32", "bfloat16"):
+            cfg = OnePosePlusConfig(
+                compute_dtype=dt,
+                coarse_matching=CoarseMatchingConfig(max_matches=32, thr=1e-6),
+            )
+            model = OnePosePlusModel(cfg)
+            vs = model.init(jax.random.PRNGKey(0), batch, train=False)
+            outs[dt] = model.apply(vs, batch, train=False)
+        # params identical (f32 param_dtype in both); outputs must be close
+        m32 = np.asarray(outs["float32"]["match_mask"][0])
+        m16 = np.asarray(outs["bfloat16"]["match_mask"][0])
+        i32 = np.asarray(outs["float32"]["i_ids"][0])[m32]
+        i16 = np.asarray(outs["bfloat16"]["i_ids"][0])[m16]
+        overlap = len(set(i32.tolist()) & set(i16.tolist())) / max(len(i32), 1)
+        assert overlap > 0.8, f"bf16 changed matches too much: {overlap}"
+        # fine coordinates of shared matches stay within a pixel
+        f32map = dict(zip(i32.tolist(), np.asarray(outs["float32"]["mkpts_query_f"][0])[m32]))
+        f16map = dict(zip(i16.tolist(), np.asarray(outs["bfloat16"]["mkpts_query_f"][0])[m16]))
+        for i in set(f32map) & set(f16map):
+            assert np.abs(f32map[i] - f16map[i]).max() < 2.0
