@@ -37,12 +37,72 @@ class PnPResult(NamedTuple):
     ok: jnp.ndarray  # [...] bool — solution valid
 
 
+def _det3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 determinant (avoids the batched LU lowering)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def _inv3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse via the adjugate (pure VPU arithmetic)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < _EPS, _EPS, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], -1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 def _orthogonalize(M: jnp.ndarray) -> jnp.ndarray:
-    """Project a 3x3 matrix onto SO(3) via SVD (batched)."""
-    u, _, vt = jnp.linalg.svd(M)
-    det = jnp.linalg.det(u @ vt)
-    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    return u @ (d[..., :, None] * vt)
+    """Project a 3x3 matrix onto SO(3) via Newton polar iteration (batched).
+
+    X <- (X + X^-T) / 2 converges quadratically to the orthogonal polar
+    factor — far cheaper on TPU than a batched 3x3 SVD (which lowers to a
+    slow QR-iteration loop). Closed-form adjugate inverses keep the whole
+    iteration on the VPU. The determinant sign is fixed up front so the
+    iteration lands in SO(3), not O(3).
+    """
+    det = _det3(M)
+    sign = jnp.sign(jnp.where(det == 0, 1.0, det))
+    X = M * sign[..., None, None]
+    # normalize scale for convergence, then 4 Newton steps
+    norm = jnp.sqrt(jnp.sum(X * X, axis=(-2, -1), keepdims=True) / 3.0)
+    X = X / (norm + _EPS)
+    for _ in range(4):
+        X = 0.5 * (X + jnp.swapaxes(_inv3(X), -1, -2))
+    return X
+
+
+def _smallest_eigvec(AtA: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+    """Smallest eigenvector of a symmetric PSD [D, D] by inverse iteration.
+
+    Cholesky-solve based — replaces jnp.linalg.eigh, whose QR-iteration
+    lowering dominates batched small-matrix RANSAC on TPU.
+    """
+    d = AtA.shape[-1]
+    shift = 1e-6 * (jnp.trace(AtA) / d) + 1e-12
+    A = AtA + shift * jnp.eye(d, dtype=AtA.dtype)
+    cho = jax.scipy.linalg.cho_factor(A)
+    v = jnp.ones((d,), AtA.dtype) / (d**0.5)
+
+    def body(_, v):
+        v = jax.scipy.linalg.cho_solve(cho, v)
+        return v / (jnp.linalg.norm(v) + _EPS)
+
+    return jax.lax.fori_loop(0, iters, body, v)
 
 
 def _fit_pose_dlt(pts3d: jnp.ndarray, pts2dn: jnp.ndarray) -> tuple:
@@ -63,10 +123,9 @@ def _fit_pose_dlt(pts3d: jnp.ndarray, pts2dn: jnp.ndarray) -> tuple:
     r1 = jnp.concatenate([zeros, X, -v * X], axis=-1)
     A = jnp.concatenate([r0, r1], axis=0)  # [2S, 12]
     AtA = A.T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    p = vecs[:, 0].reshape(3, 4)
+    p = _smallest_eigvec(AtA).reshape(3, 4)
     # Fix scale & sign: rows of R must be unit; depth of points positive.
-    scale = jnp.cbrt(jnp.abs(jnp.linalg.det(p[:, :3])) + _EPS)
+    scale = jnp.cbrt(jnp.abs(_det3(p[:, :3])) + _EPS)
     p = p / (scale + _EPS)
     depth = pts3d @ p[2, :3] + p[2, 3]
     sign = jnp.where(jnp.sum(jnp.sign(depth)) >= 0, 1.0, -1.0)

@@ -19,3 +19,9 @@ from .visualization import (
     make_video,
     save_ply,
 )
+from .plotting import (
+    plot_matches_on_image,
+    plot_reprojection_comparison,
+    plot_image_pair_matches,
+    figure_to_array,
+)

@@ -123,6 +123,23 @@ def test_sfm_then_inference_then_merge(tmp_path):
     content = open(metrics_txt).read()
     assert "ALL:" in content and obj in content
 
+    # demo: sequential tracking video over the same object
+    video_out = str(tmp_path / "demo.mp4")
+    r_demo = run_cli(
+        "demo.py",
+        [
+            "+experiment=inference_demo",
+            f"dataset.data_dir={data_dir}",
+            f"dataset.sfm_outputs_dir={sfm_dir}",
+            "dataset.img_resize=128",
+            "dataset.shape3d=128",
+            "demo.num_ref_views=3",
+            f"demo.output_video={video_out}",
+        ],
+    )
+    assert r_demo.returncode == 0, r_demo.stderr[-3000:]
+    assert os.path.exists(video_out), r_demo.stdout[-1500:]
+
     merged = str(tmp_path / "train_anno.json")
     r4 = run_cli(
         "merge.py",

@@ -188,3 +188,24 @@ class TestTorchConversion:
         sd = {"backbone.conv1.weight": np.zeros((64, 1, 7, 7), np.float32)}
         with pytest.raises(ValueError):
             convert_torch_state_dict(sd, variables, strict=True)
+
+
+class TestPlotting:
+    def test_figures_render(self):
+        from onepose_plus_plus_tpu.utils import (
+            figure_to_array,
+            plot_image_pair_matches,
+            plot_matches_on_image,
+            plot_reprojection_comparison,
+        )
+
+        rng = np.random.default_rng(0)
+        img = rng.random((64, 64)).astype(np.float32)
+        pts = rng.uniform(0, 63, (20, 2))
+        conf = rng.random(20)
+        f1 = plot_matches_on_image(img, pts, conf, "t")
+        f2 = plot_reprojection_comparison(img, pts, pts + 1.0, "t")
+        f3 = plot_image_pair_matches(img, img, pts, pts, conf)
+        for f in (f1, f2, f3):
+            arr = figure_to_array(f)
+            assert arr.ndim == 3 and arr.shape[2] == 3 and arr.max() > 0
