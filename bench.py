@@ -1,12 +1,16 @@
-"""Headline benchmark: batched 2D-3D query matching throughput (poses/sec/chip).
+"""Headline benchmark: end-to-end query pose throughput (poses/sec/chip).
 
-Runs the flagship OnePosePlusModel forward at the reference's inference
-configuration (512x512 query crops, 7000-point cloud, d_model 256/128 —
-``configs/experiment/inference_onepose.yaml``) over a frame batch on one chip
-and reports query frames matched per second. The reference serves queries with
-2 Ray workers x 0.5 GPU on a single GPU (``src/inference/inference_OnePosePlus.py:18-26``,
-README.md:88); its measured single-GPU throughput is recorded in BASELINE.md
-(REFERENCE_FPS below; an estimate until the reference is profiled end-to-end).
+Runs the COMPLETE per-frame pipeline — OnePosePlusModel 2D-3D matching forward
+(bf16 + fused Pallas dual-softmax matching) AND RANSAC-PnP + pose-error
+computation — as one fused jitted device step at the reference's inference
+configuration (512x512 query crops, 7000-point cloud, d_model 256/128,
+``configs/experiment/inference_onepose.yaml``) over frame batches on one chip.
+
+The reference serves queries with 2 Ray workers x 0.5 GPU on a single GPU
+(``src/inference/inference_OnePosePlus.py:18-26``, README.md:88), one frame
+at a time through torch forward + pycolmap RANSAC; its measured single-GPU
+throughput is recorded in BASELINE.md (REFERENCE_FPS below; an estimate until
+the reference is profiled end-to-end).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -20,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from onepose_plus_plus_tpu.config import CoarseMatchingConfig, OnePosePlusConfig
+from onepose_plus_plus_tpu.inference.pipeline import make_query_step
 from onepose_plus_plus_tpu.models.onepose_plus import OnePosePlusModel
 
 # Reference operational envelope: per-frame forward + RANSAC PnP on one GPU via
@@ -31,15 +36,12 @@ REFERENCE_FPS = 20.0
 BATCH = 16
 IMG = 512
 N_POINTS = 7000
-DTYPE = jnp.bfloat16
 
 
 def main():
     rng = np.random.default_rng(0)
     batch = {
-        "query_image": jnp.asarray(
-            rng.random((BATCH, IMG, IMG, 1), np.float32)
-        ),
+        "query_image": jnp.asarray(rng.random((BATCH, IMG, IMG, 1), np.float32)),
         "keypoints3d": jnp.asarray(
             rng.standard_normal((BATCH, N_POINTS, 3)).astype(np.float32)
         ),
@@ -48,6 +50,9 @@ def main():
         ),
         "descriptors3d_coarse": jnp.asarray(
             rng.standard_normal((BATCH, N_POINTS, 256)).astype(np.float32)
+        ),
+        "intrinsics": jnp.asarray(
+            np.tile(np.eye(3, dtype=np.float32) * 500.0, (BATCH, 1, 1))
         ),
     }
 
@@ -59,40 +64,43 @@ def main():
     # jit the init: un-jitted flax init dispatches each op separately, which
     # is pathological over a remote-device tunnel
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
-        jax.random.PRNGKey(0), batch
+        jax.random.PRNGKey(0),
+        {k: v for k, v in batch.items() if k != "intrinsics"},
     )
 
-    # The iteration index perturbs the input ON DEVICE (defeats any
-    # identical-execution result caching in the device tunnel) and the scalar
-    # return forces a host readback per iteration (block_until_ready through
-    # the tunnel does not reliably wait for remote compute).
+    step = make_query_step(model, variables, num_hypotheses=512)
+    pose_gt = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (BATCH, 1, 1)))
+    key = jax.random.PRNGKey(0)
+
+    # One dispatch per iteration: the index perturbs the input ON DEVICE
+    # (defeats any identical-execution result caching in the tunnel) inside
+    # the same jitted program as the step.
     @jax.jit
-    def forward(variables, batch, i):
-        b = dict(batch)
-        b["query_image"] = b["query_image"] + i * 1e-9
-        out = model.apply(variables, b, train=False)
-        return (
-            jnp.sum(out["mkpts_query_f"])
-            + jnp.sum(out["mconf"])
-            + jnp.sum(out["match_mask"])
-        )
+    def timed_step(b, k):
+        b = dict(b)
+        b["query_image"] = b["query_image"] + k * 1e-9
+        return step(b, jax.random.fold_in(key, k.astype(jnp.int32)), pose_gt)
 
-    # warmup + compile
-    float(forward(variables, batch, jnp.float32(0)))
+    # warmup/compile; the float() readback forces execution (block_until_ready
+    # does not reliably wait through the remote-device tunnel)
+    out = timed_step(batch, jnp.float32(0))
+    float(out[4][0])
 
+    # all executions issued first, drained at the end (pipelined dispatch)
     n_iters = 10
     t0 = time.perf_counter()
-    outs = [forward(variables, batch, jnp.float32(k + 1)) for k in range(n_iters)]
-    _ = [float(o) for o in outs]  # drain: every execution must have finished
+    outs = [timed_step(batch, jnp.float32(k + 1)) for k in range(n_iters)]
+    for o in outs:
+        float(o[4][0])
     dt = time.perf_counter() - t0
 
     fps = BATCH * n_iters / dt
     print(
         json.dumps(
             {
-                "metric": "query_match_fps_per_chip",
+                "metric": "query_poses_per_sec_per_chip",
                 "value": round(fps, 2),
-                "unit": "frames/sec",
+                "unit": "poses/sec",
                 "vs_baseline": round(fps / REFERENCE_FPS, 2),
             }
         )

@@ -157,3 +157,95 @@ class ResNetFPN_8_2(nn.Module):
 
         # downstream matching numerics run in f32
         return x3_out.astype(jnp.float32), x1_out.astype(jnp.float32)
+
+
+class ResNetFPN_16_4(nn.Module):
+    """ResNet + FPN variant with coarse 1/16 and fine 1/4 outputs.
+
+    Reference ``backbone/resnet.py`` ``ResNetFPN_16_4`` (4-stage ResNet, FPN
+    down to 1/4): used by LoFTR configs with resolution (16, 4). Requires
+    ``block_dims`` of length 4.
+    """
+
+    cfg: ResNetFPNConfig = ResNetFPNConfig(block_dims=(128, 196, 256, 512))
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        block = _BLOCKS[self.cfg.block_type]
+        dims = self.cfg.block_dims
+        assert len(dims) == 4, "ResNetFPN_16_4 needs 4 block dims"
+        d0, d1, d2, d3 = dims
+        dt = self.dtype
+        x = x.astype(dt)
+
+        x0 = _conv(self.cfg.initial_dim, 7, 2, name="conv1", dtype=dt)(x)
+        x0 = nn.relu(_BN(name="bn1", dtype=dt)(x0, train))  # 1/2
+
+        def layer(planes, stride, name, h):
+            h = block(planes, stride, name=f"{name}_0", dtype=dt)(h, train)
+            return block(planes, 1, name=f"{name}_1", dtype=dt)(h, train)
+
+        x1 = layer(d0, 1, "layer1", x0)  # 1/2
+        x2 = layer(d1, 2, "layer2", x1)  # 1/4
+        x3 = layer(d2, 2, "layer3", x2)  # 1/8
+        x4 = layer(d3, 2, "layer4", x3)  # 1/16
+
+        x4_out = _conv(d3, 1, name="layer4_outconv", dtype=dt)(x4)
+
+        x4_up = upsample2x_align_corners(x4_out)
+        x3_out = _conv(d3, 1, name="layer3_outconv", dtype=dt)(x3)
+        x3_out = _OutConv2(d3, d2, name="layer3_outconv2", dtype=dt)(
+            x3_out + x4_up, train
+        )
+
+        x3_up = upsample2x_align_corners(x3_out)
+        x2_out = _conv(d2, 1, name="layer2_outconv", dtype=dt)(x2)
+        x2_out = _OutConv2(d2, d1, name="layer2_outconv2", dtype=dt)(
+            x2_out + x3_up, train
+        )
+
+        return x4_out.astype(jnp.float32), x2_out.astype(jnp.float32)
+
+
+class ResNet18_C(nn.Module):
+    """Plain ResNet-18 trunk to stage C2 or C3 (no FPN).
+
+    Reference ``backbone/resnet.py`` ``ResNet18C2``/``ResNet18C3`` single-map
+    variants (used as lightweight descriptor extractors).
+    """
+
+    cfg: ResNetFPNConfig = ResNetFPNConfig()
+    stage: int = 3  # 2 -> 1/2 map, 3 -> 1/4 map
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> jnp.ndarray:
+        block = _BLOCKS[self.cfg.block_type]
+        dims = self.cfg.block_dims
+        dt = self.dtype
+        x = x.astype(dt)
+        x0 = _conv(self.cfg.initial_dim, 7, 2, name="conv1", dtype=dt)(x)
+        x0 = nn.relu(_BN(name="bn1", dtype=dt)(x0, train))
+
+        def layer(planes, stride, name, h):
+            h = block(planes, stride, name=f"{name}_0", dtype=dt)(h, train)
+            return block(planes, 1, name=f"{name}_1", dtype=dt)(h, train)
+
+        h = layer(dims[0], 1, "layer1", x0)  # 1/2 (C2)
+        if self.stage >= 3:
+            h = layer(dims[1], 2, "layer2", h)  # 1/4 (C3)
+        return h.astype(jnp.float32)
+
+
+def build_backbone(name: str, cfg: ResNetFPNConfig, dtype=jnp.float32):
+    """Backbone registry mirroring reference ``backbone/__init__.py:6-14``."""
+    if name in ("ResNetFPN_8_2", "resnetfpn_8_2"):
+        return ResNetFPN_8_2(cfg, dtype=dtype)
+    if name in ("ResNetFPN_16_4", "resnetfpn_16_4"):
+        return ResNetFPN_16_4(cfg, dtype=dtype)
+    if name in ("ResNet18C2", "resnet18c2"):
+        return ResNet18_C(cfg, stage=2, dtype=dtype)
+    if name in ("ResNet18C3", "resnet18c3"):
+        return ResNet18_C(cfg, stage=3, dtype=dtype)
+    raise ValueError(f"unknown backbone {name}")

@@ -126,6 +126,10 @@ def build_annotations(
         kpt_idx, row_idx = build_assign_matrix(im, pids)
         if len(im.xys) == 0 or len(kpt_idx) < min_match_ratio * len(im.xys):
             continue  # the reference's 5%-of-keypoints save gate
+        if scores is not None and iid in scores:
+            sc2d = np.asarray(scores[iid])[kpt_idx].reshape(-1, 1).tolist()
+        else:
+            sc2d = np.ones((len(kpt_idx), 1)).tolist()
         anno_2d.append(
             {
                 "img_id": int(iid),
@@ -133,6 +137,7 @@ def build_annotations(
                     image_paths[iid] if image_paths else im.name
                 ),
                 "keypoints2d": im.xys[kpt_idx].tolist(),
+                "scores2d": sc2d,
                 "assign_matrix": np.stack([kpt_idx, row_idx]).tolist(),
             }
         )

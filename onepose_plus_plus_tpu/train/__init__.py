@@ -17,3 +17,11 @@ __all__ = [
     "make_optimizer",
     "train_step",
 ]
+from .callbacks import (
+    Callback,
+    GradientStatsCallback,
+    CheckpointArtifactCallback,
+    LearningRateCallback,
+    run_callbacks_step,
+    run_callbacks_epoch,
+)

@@ -25,3 +25,4 @@ from .plotting import (
     plot_image_pair_matches,
     figure_to_array,
 )
+from .template_utils import format_config, print_config, flatten_config, log_hparams

@@ -199,3 +199,36 @@ class TestComputeDtype:
         f16map = dict(zip(i16.tolist(), np.asarray(outs["bfloat16"]["mkpts_query_f"][0])[m16]))
         for i in set(f32map) & set(f16map):
             assert np.abs(f32map[i] - f16map[i]).max() < 2.0
+
+
+class TestBackboneVariants:
+    def test_fpn_16_4_shapes(self):
+        import numpy as np
+
+        from onepose_plus_plus_tpu.config import ResNetFPNConfig
+        from onepose_plus_plus_tpu.models.backbone import ResNetFPN_16_4
+
+        bb = ResNetFPN_16_4(
+            ResNetFPNConfig(initial_dim=32, block_dims=(32, 48, 64, 96))
+        )
+        x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 1), np.float32))
+        vs = bb.init(jax.random.PRNGKey(0), x, train=False)
+        c, f = bb.apply(vs, x, train=False)
+        assert c.shape == (1, 4, 4, 96)   # 1/16
+        assert f.shape == (1, 16, 16, 48)  # 1/4
+
+    def test_resnet18_c_stages(self):
+        import numpy as np
+
+        from onepose_plus_plus_tpu.config import ResNetFPNConfig
+        from onepose_plus_plus_tpu.models.backbone import ResNet18_C, build_backbone
+
+        x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 1), np.float32))
+        for stage, hw, ch in ((2, 16, 32), (3, 8, 48)):
+            bb = ResNet18_C(
+                ResNetFPNConfig(initial_dim=32, block_dims=(32, 48, 64)), stage=stage
+            )
+            vs = bb.init(jax.random.PRNGKey(0), x, train=False)
+            out = bb.apply(vs, x, train=False)
+            assert out.shape == (1, hw, hw, ch)
+        assert build_backbone("ResNetFPN_8_2", ResNetFPNConfig()) is not None

@@ -130,3 +130,37 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+class TestCallbacks:
+    def test_checkpoint_artifact_rotation(self, tmp_path):
+        import os
+
+        from onepose_plus_plus_tpu.train import CheckpointArtifactCallback
+
+        ckpt = tmp_path / "ckpt"
+        (ckpt / "last").mkdir(parents=True)
+        (ckpt / "last" / "x.bin").write_bytes(b"abc")
+        cb = CheckpointArtifactCallback(str(ckpt), str(tmp_path / "art"), keep_last=2)
+        for e in range(4):
+            cb.on_epoch_end(e, None)
+        kept = sorted(os.listdir(tmp_path / "art"))
+        assert kept == ["epoch_2", "epoch_3"]
+
+    def test_gradient_stats(self):
+        import numpy as np
+
+        from onepose_plus_plus_tpu.train import GradientStatsCallback
+
+        class W:
+            def __init__(self):
+                self.logged = {}
+
+            def add_scalar(self, k, v, s):
+                self.logged[k] = v
+
+        cb = GradientStatsCallback(every=1)
+        cb.set_grads({"a": jnp.ones(4), "b": jnp.zeros(3)})
+        w = W()
+        cb.on_step(2, {}, w)
+        assert np.isclose(w.logged["train/grad_global_norm"], 2.0)

@@ -173,9 +173,60 @@ def train(cfg) -> None:
                 os.path.join(ckpt_dir, "last"),
                 {"params": state.params, "batch_stats": state.batch_stats},
             )
+            # per-epoch validation: pose errors via the fused match+PnP step
+            # (reference validation_step -> compute_query_pose_errors ->
+            # aggregate_metrics, OnePosePlus_lightning_model.py:90-160)
+            val_file = cfg.get_path("dataset.val_anno_file")
+            if val_file and os.path.exists(str(val_file)):
+                val_metrics = _validate(
+                    model,
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    load_records(str(val_file)),
+                    cfg,
+                )
+                print(f"epoch {epoch} val: {val_metrics}")
+                if writer and val_metrics:
+                    for k, v in val_metrics.items():
+                        writer.add_scalar(f"val/{k}", float(v), global_step)
             print(f"epoch {epoch} done in {time.time() - t0:.1f}s -> {ckpt_dir}")
     if writer:
         writer.close()
+
+
+def _validate(model, variables, records, cfg, max_frames: int = 64):
+    """Pose-error validation over the val manifest via the fused match+PnP
+    step. Frames share their object's annotation; metrics aggregate across
+    processes with the multihost gather."""
+    from onepose_plus_plus_tpu.data.dataset import OnePosePlusInferenceDataset
+    from onepose_plus_plus_tpu.data.preprocessing import load_3d_annotation
+    from onepose_plus_plus_tpu.eval.metrics import aggregate_metrics
+    from onepose_plus_plus_tpu.inference.pipeline import run_inference
+    from onepose_plus_plus_tpu.parallel.comm import gather_metrics
+
+    by_anno = {}
+    for r in records[:max_frames]:
+        if r.avg_anno3d_file and r.pose is not None:
+            by_anno.setdefault(r.avg_anno3d_file, []).append(r)
+    all_R, all_t = [], []
+    for anno_p, recs in by_anno.items():
+        ds = OnePosePlusInferenceDataset(
+            anno_p, recs, img_size=cfg.dataset.img_resize
+        )
+        res = run_inference(
+            model,
+            variables,
+            ds.frames(),
+            ds.annotation,
+            shape3d=cfg.dataset.shape3d_train,
+            frame_batch=4,
+        )
+        if res.R_errs is not None:
+            all_R.extend(res.R_errs.tolist())
+            all_t.extend(res.t_errs.tolist())
+    gathered = gather_metrics({"R": all_R, "t": all_t})
+    R = sum((g["R"] for g in gathered), [])
+    t = sum((g["t"] for g in gathered), [])
+    return aggregate_metrics(R, t) if R else {}
 
 
 def main() -> None:
