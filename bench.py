@@ -33,7 +33,7 @@ from onepose_plus_plus_tpu.models.onepose_plus import OnePosePlusModel
 # reference is benchmarked, recorded here so vs_baseline is well-defined.
 REFERENCE_FPS = 20.0
 
-BATCH = 16
+BATCH = 48  # best poses/sec/chip in the 16-48 sweep
 IMG = 512
 N_POINTS = 7000
 
