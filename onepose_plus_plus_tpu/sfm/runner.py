@@ -132,6 +132,7 @@ def run_sfm(
         os.path.join(model_coarse_dir, "cameras.bin")
     ):
         scene = merge_keypoints(raw)
+        export_hloc_artifacts(scene, names, out_dir)
         tri = triangulate_scene(
             scene,
             Ks,
@@ -242,3 +243,36 @@ def extract_keypoint_descriptors(
             fine_out[i] = ff[bi, :m]
             coarse_out[i] = fc[bi, :m]
     return fine_out, coarse_out
+
+
+def export_hloc_artifacts(scene, names: Dict[int, str], out_dir: str) -> None:
+    """Write hloc-style feature/match h5 artifacts for ecosystem interop.
+
+    The reference persists its coarse-matching results as
+    ``feats-loftr.h5`` (per-image keypoints + fake zero descriptors/scores,
+    ``coarse_match.py:189-214``) and ``matches-loftr.h5`` (per-pair index
+    matches keyed "name0_name1"); downstream hloc tooling reads these.
+    """
+    import numpy as np
+
+    from ..data.image_io import grouped_save_h5
+
+    feats = {}
+    for img_id, kpts in scene.keypoints.items():
+        feats[names[img_id]] = {
+            "keypoints": kpts.astype(np.float32),
+            # the reference writes fake descriptors/scores for hloc schema
+            # compatibility (real descriptors live in the 3D annotation)
+            "descriptors": np.zeros((256, len(kpts)), np.float32),
+            "scores": scene.scores[img_id].astype(np.float32),
+        }
+    grouped_save_h5(feats, os.path.join(out_dir, "feats-loftr.h5"))
+
+    matches = {}
+    for (i, j), m in scene.match_indices.items():
+        key = f"{names[i]}_{names[j]}"
+        matches[key] = {
+            "matches": m.astype(np.int64),
+            "matching_scores": scene.match_confs[(i, j)].astype(np.float32),
+        }
+    grouped_save_h5(matches, os.path.join(out_dir, "matches-loftr.h5"))

@@ -47,7 +47,11 @@ def draw_3d_box(
         img = np.stack([img] * 3, axis=-1)
     if img.dtype != np.uint8:
         img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
-    pts = np.round(corners_2d).astype(int)
+    # clamp to an int32-safe range: garbage poses (e.g. before tracking locks
+    # on) can project corners to +-1e12, which overflows cv2's point parsing
+    lim = 10 * max(img.shape[0], img.shape[1])
+    corners_2d = np.nan_to_num(corners_2d, nan=0.0, posinf=lim, neginf=-lim)
+    pts = np.round(np.clip(corners_2d, -lim, lim)).astype(np.int32)
     for a, b in BOX_EDGES:
         if _HAS_CV2:
             cv2.line(img, tuple(pts[a]), tuple(pts[b]), color, thickness)

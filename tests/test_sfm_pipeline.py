@@ -232,3 +232,24 @@ class TestNativeTrackBuilder:
         from onepose_plus_plus_tpu.native.build import load_track_builder
 
         assert load_track_builder() is not None
+
+
+class TestHlocExport:
+    def test_artifact_layout(self, tmp_path):
+        from onepose_plus_plus_tpu.data.image_io import grouped_load_h5
+        from onepose_plus_plus_tpu.sfm.runner import export_hloc_artifacts
+
+        rng = np.random.default_rng(0)
+        K, pts, Ts = make_scene(rng, n_views=3, n_pts=20)
+        raw = simulate_matcher(K, Ts, pts, noise=0.2)
+        scene = merge_keypoints(raw)
+        names = {i: f"f{i}.png" for i in range(3)}
+        export_hloc_artifacts(scene, names, str(tmp_path))
+        feats = grouped_load_h5(str(tmp_path / "feats-loftr.h5"))
+        assert set(feats) == {"f0.png", "f1.png", "f2.png"}
+        assert feats["f0.png"]["descriptors"].shape[0] == 256
+        assert len(feats["f0.png"]["keypoints"]) == len(scene.keypoints[0])
+        matches = grouped_load_h5(str(tmp_path / "matches-loftr.h5"))
+        assert "f0.png_f1.png" in matches
+        m = matches["f0.png_f1.png"]["matches"]
+        assert m.shape[1] == 2
