@@ -127,14 +127,18 @@ def inference(cfg) -> None:
                 projection_2d_error,
             )
 
-            cad_dir = cfg.get_path("dataset.cad_models_dir", "")
+            cad_dir = cfg.get_path("cad.cad_models_dir", cfg.get_path("dataset.cad_models_dir", ""))
             obj_id = obj_name.split("-")[0]
             cad_path = os.path.join(cad_dir, f"{obj_name}.ply")
             if not os.path.exists(cad_path):
                 cad_path = os.path.join(cad_dir, f"{obj_id}.ply")
             if os.path.exists(cad_path):
                 model_pts, diameter = load_cad_for_eval(
-                    cad_path, unit_scale=cfg.get_path("dataset.cad_unit_scale", 1.0)
+                    cad_path,
+                    unit_scale=cfg.get_path(
+                        "cad.cad_unit_scale",
+                        cfg.get_path("dataset.cad_unit_scale", 1.0),
+                    ),
                 )
                 symmetric = obj_id in SYMMETRIC_OBJ_IDS
                 add_flags, proj_flags = [], []

@@ -67,6 +67,15 @@ def sfm(cfg) -> None:
     if not objects:
         print(f"no objects found under {data_dir}")
         return
+    # multi-host object sharding (the reference's Ray/SLURM global fan-out,
+    # run.py:64-89): objects are independent; shard the list across processes
+    # via OBJ_SHARD / OBJ_NUM_SHARDS (or jax process index under
+    # jax.distributed)
+    shard = int(os.environ.get("OBJ_SHARD", "0"))
+    n_shards = int(os.environ.get("OBJ_NUM_SHARDS", "1"))
+    if n_shards > 1:
+        objects = objects[shard::n_shards]
+        print(f"shard {shard}/{n_shards}: {len(objects)} objects")
 
     matcher = build_loftr_matcher(dict(cfg.get("model", {}) or {}))
     weights_path = cfg.get_path("network.loftr_weights")
