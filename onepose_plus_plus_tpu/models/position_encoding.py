@@ -90,7 +90,7 @@ class KeypointEncoder(nn.Module):
                 if self.norm_method == "instancenorm":
                     x = _quirk_instance_norm(x)
                 elif self.norm_method == "layernorm":
-                    x = nn.LayerNorm()(x)
+                    x = nn.LayerNorm(epsilon=1e-5)(x)
                 elif self.norm_method != "none":
                     raise ValueError(self.norm_method)
                 x = nn.relu(x)

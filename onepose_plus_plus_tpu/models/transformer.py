@@ -49,14 +49,15 @@ class LoFTREncoderLayer(nn.Module):
             message.reshape(n, l, self.d_model).astype(dt)
         )
         # LayerNorms stay f32 for numerical stability
-        message = nn.LayerNorm(name="norm1", dtype=jnp.float32)(message)
+        # torch LayerNorm default eps (1e-5) for checkpoint fidelity
+        message = nn.LayerNorm(name="norm1", epsilon=1e-5, dtype=jnp.float32)(message)
 
         message = nn.Dense(2 * self.d_model, use_bias=False, name="mlp_0", dtype=dt)(
             jnp.concatenate([x.astype(jnp.float32), message], axis=-1)
         )
         message = nn.relu(message)
         message = nn.Dense(self.d_model, use_bias=False, name="mlp_1", dtype=dt)(message)
-        message = nn.LayerNorm(name="norm2", dtype=jnp.float32)(message)
+        message = nn.LayerNorm(name="norm2", epsilon=1e-5, dtype=jnp.float32)(message)
 
         return x + message
 
