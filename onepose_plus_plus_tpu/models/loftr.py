@@ -100,6 +100,28 @@ class LoFTRMatcher(nn.Module):
 
     def _coarse_match(self, feat0, feat1, hw0_c, hw1_c):
         cm = self.cfg.coarse_matching
+        # fused streaming Pallas matching on TPU (never materializes the
+        # [L, S] confidence matrix — at 512^2 pairs that is 4096x4096 per
+        # image pair); XLA path elsewhere / when explicitly disabled
+        use_fused = cm.use_fused_kernel
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        if use_fused:
+            from ..ops.pallas_matching import fused_select_topk_matches
+
+            matches = fused_select_topk_matches(
+                feat0,
+                feat1,
+                cm.temperature,
+                hw1_c,
+                cm.thr,
+                cm.border_rm,
+                cm.max_matches,
+                border_two_sided=cm.border_two_sided,
+                row_grid_hw=hw0_c,
+                feat_norm=cm.feat_norm_method,
+            )
+            return None, matches
         conf = dual_softmax_confidence(
             feat0, feat1, cm.temperature, feat_norm=cm.feat_norm_method
         )
