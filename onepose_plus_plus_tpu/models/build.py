@@ -37,6 +37,7 @@ def onepose_config_from_dict(d: Optional[Dict[str, Any]] = None) -> OnePosePlusC
     kp = d.get("keypoints_encoding", {})
     resolution = tuple(bb.get("resolution", (8, 2)))
     return OnePosePlusConfig(
+        compute_dtype=d.get("compute_dtype", "float32"),
         backbone=ResNetFPNConfig(
             initial_dim=bb.get("initial_dim", 128),
             block_dims=tuple(bb.get("block_dims", (128, 196, 256))),
@@ -84,6 +85,7 @@ def loftr_config_from_dict(d: Optional[Dict[str, Any]] = None) -> LoFTRConfig:
     d = d or {}
     cm = d.get("match_coarse", {})
     return LoFTRConfig(
+        compute_dtype=d.get("compute_dtype", "float32"),
         coarse=TransformerConfig(
             d_model=d.get("d_model", 256),
             nhead=d.get("nhead", 8),

@@ -79,6 +79,7 @@ def test_sfm_then_inference_then_merge(tmp_path):
             "sfm.covis_num=5",
             "sfm.max_epipolar_error_px=8.0",
             "model.match_coarse.thr=0.000001",
+            "model.compute_dtype=float32",  # CPU test: keep f32 numerics
         ],
     )
     assert r.returncode == 0, r.stderr[-3000:]
@@ -114,6 +115,7 @@ def test_sfm_then_inference_then_merge(tmp_path):
             "dataset.shape3d=128",
             "inference.frame_batch=2",
             "inference.num_hypotheses=64",
+            "model.compute_dtype=float32",
             f"output_dir={out_dir}",
         ],
     )
@@ -134,6 +136,7 @@ def test_sfm_then_inference_then_merge(tmp_path):
             "dataset.img_resize=128",
             "dataset.shape3d=128",
             "demo.num_ref_views=3",
+            "model.compute_dtype=float32",
             f"demo.output_video={video_out}",
         ],
     )
