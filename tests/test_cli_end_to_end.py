@@ -100,6 +100,7 @@ def test_sfm_then_inference_then_merge(tmp_path):
             f"dataset.data_dir={data_dir}",
             f"dataset.outputs_dir={sfm_dir}",
             "dataset.down_ratio=1",
+            "model.compute_dtype=float32",
         ],
     )
     assert r2.returncode == 0, r2.stderr[-3000:]
