@@ -84,6 +84,7 @@ def inference(cfg) -> None:
     out_dir = cfg.get("output_dir", "results")
     os.makedirs(out_dir, exist_ok=True)
     all_R, all_t, per_object = [], [], {}
+    step = None  # shared compiled match+PnP step across objects
 
     for obj_name, seqs, anno_path in objects:
         ds = OnePosePlusInferenceDataset(
@@ -106,6 +107,15 @@ def inference(cfg) -> None:
                     "descriptors3d_coarse": np.zeros((1, s3d, 256), np.float32),
                 }
                 variables = model.init(jax.random.PRNGKey(666), probe, train=False)
+        if step is None:
+            from onepose_plus_plus_tpu.inference.pipeline import make_query_step
+
+            step = make_query_step(
+                model,
+                variables,
+                reproj_threshold_px=cfg.eval_metrics.pnp_reproj_thr,
+                num_hypotheses=cfg.inference.num_hypotheses,
+            )
         res = run_inference(
             model,
             variables,
@@ -116,6 +126,7 @@ def inference(cfg) -> None:
             reproj_threshold_px=cfg.eval_metrics.pnp_reproj_thr,
             num_hypotheses=cfg.inference.num_hypotheses,
             pose_thresholds=tuple(cfg.eval_metrics.pose_thresholds),
+            step=step,
         )
         # ADD(S)-0.1d + proj2D metrics against a CAD model (LINEMOD path,
         # reference inference_LINEMOD.yaml: eval_ADD_metric)

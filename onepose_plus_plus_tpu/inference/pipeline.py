@@ -98,6 +98,7 @@ def run_inference(
     pose_thresholds=(1, 3, 5),
     rng_seed: int = 0,
     mesh=None,
+    step=None,
 ) -> InferenceResult:
     """Run the batched query pipeline over an object's frames.
 
@@ -111,6 +112,9 @@ def run_inference(
         mesh: optional ``jax.sharding.Mesh`` — the frame batch is sharded over
             the data axis and the jitted step runs SPMD across all chips
             (frame_batch must be a multiple of the mesh size).
+        step: optional prebuilt device step from :func:`make_query_step` —
+            REUSE it across objects with identical shapes, otherwise every
+            object pays a fresh XLA compile.
     """
     from ..data.preprocessing import pad_point_cloud
 
@@ -134,12 +138,13 @@ def run_inference(
     else:
         desc_c = None
 
-    step = make_query_step(
-        model,
-        variables,
-        reproj_threshold_px=reproj_threshold_px,
-        num_hypotheses=num_hypotheses,
-    )
+    if step is None:
+        step = make_query_step(
+            model,
+            variables,
+            reproj_threshold_px=reproj_threshold_px,
+            num_hypotheses=num_hypotheses,
+        )
     frames = list(frames)
     has_gt = all("pose_gt" in f for f in frames)
     rng = jax.random.PRNGKey(rng_seed)
