@@ -67,6 +67,12 @@ def run_pairs(
     """
     out: List[PairMatches] = []
     pairs = list(pairs)
+    shapes = {im.shape for im in images.values()}
+    if len(shapes) > 1:
+        raise ValueError(
+            "run_pairs requires uniform image shapes for device batching, got "
+            f"{sorted(shapes)}; resize via load_gray_resize_divisible(resize_max=...)"
+        )
     for s in range(0, len(pairs), pair_batch):
         chunk = pairs[s : s + pair_batch]
         pad = pair_batch - len(chunk)

@@ -253,3 +253,12 @@ class TestHlocExport:
         assert "f0.png_f1.png" in matches
         m = matches["f0.png_f1.png"]["matches"]
         assert m.shape[1] == 2
+
+
+def test_run_pairs_rejects_mixed_shapes():
+    import pytest as _pytest
+
+    images = {0: np.zeros((32, 32), np.float32), 1: np.zeros((48, 32), np.float32)}
+    scales = {i: np.ones(2, np.float32) for i in (0, 1)}
+    with _pytest.raises(ValueError, match="uniform image shapes"):
+        run_pairs(lambda a, b: None, images, scales, [(0, 1)], pair_batch=2)
