@@ -28,6 +28,8 @@ from .losses import LossConfig, compute_losses
 class TrainConfig:
     canonical_lr: float = 1e-4
     canonical_bs: int = 4
+    # gradient accumulation steps (reference train.yaml accumulate_grad_batches)
+    grad_accum: int = 1
     weight_decay: float = 0.1
     adam_b1: float = 0.9
     adam_b2: float = 0.999
@@ -77,6 +79,10 @@ def make_optimizer(cfg: TrainConfig, lr_schedule) -> optax.GradientTransformatio
     )
     if cfg.grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if cfg.grad_accum > 1:
+        # reference PL accumulate_grad_batches=2 (train.yaml): params update
+        # every grad_accum micro-batches with averaged gradients
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
     return tx
 
 

@@ -164,3 +164,56 @@ class TestCallbacks:
         w = W()
         cb.on_step(2, {}, w)
         assert np.isclose(w.logged["train/grad_global_norm"], 2.0)
+
+
+def test_grad_accum_updates_params_every_k_steps():
+    """optax.MultiSteps wiring: params move only after grad_accum micro-steps."""
+    import numpy as np
+
+    from onepose_plus_plus_tpu.config import (
+        CoarseMatchingConfig,
+        FineConfig,
+        OnePosePlusConfig,
+        TransformerConfig,
+    )
+    from onepose_plus_plus_tpu.train.train_step import (
+        TrainConfig,
+        create_train_state,
+        train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    s = (32 // 8) ** 2
+    batch = {
+        "query_image": jnp.asarray(rng.random((1, 32, 32, 1), np.float32)),
+        "keypoints3d": jnp.asarray(rng.standard_normal((1, 16, 3)).astype(np.float32)),
+        "descriptors3d": jnp.asarray(
+            rng.standard_normal((1, 16, 128)).astype(np.float32)
+        ),
+        "descriptors3d_coarse": jnp.asarray(
+            rng.standard_normal((1, 16, 256)).astype(np.float32)
+        ),
+        "gt_cell": jnp.asarray(rng.integers(-1, s, (1, 16)).astype(np.int32)),
+        "gt_fine_xy": jnp.asarray(rng.random((1, 16, 2), np.float32) * 31),
+    }
+    cfg = OnePosePlusConfig(
+        coarse=TransformerConfig(d_model=256, nhead=8, layer_iter_n=1),
+        coarse_matching=CoarseMatchingConfig(
+            max_matches=8, train_max_matches=8, train_pad_num_gt_min=2
+        ),
+        fine=FineConfig(
+            transformer=TransformerConfig(d_model=128, nhead=8, layer_iter_n=1)
+        ),
+    )
+    tc = TrainConfig(grad_accum=2)
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), cfg, tc, batch, world_batch_size=2
+    )
+    p0 = state.params["loftr_coarse"]["layer_0"]["q_proj"]["kernel"]
+    state, _ = train_step(model, state, batch, jax.random.PRNGKey(1), tc)
+    p1 = state.params["loftr_coarse"]["layer_0"]["q_proj"]["kernel"]
+    # first micro-step: accumulation only, no param change
+    assert np.allclose(np.asarray(p0), np.asarray(p1))
+    state, _ = train_step(model, state, batch, jax.random.PRNGKey(2), tc)
+    p2 = state.params["loftr_coarse"]["layer_0"]["q_proj"]["kernel"]
+    assert not np.allclose(np.asarray(p1), np.asarray(p2))

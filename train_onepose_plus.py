@@ -62,10 +62,13 @@ def train(cfg) -> None:
 
     per_dev_bs = cfg.trainer.batch_size
     world_bs = per_dev_bs * len(devices)
-    # reference LR rule (train_onepose_plus.py:35-39)
+    grad_accum = int(cfg.trainer.get("grad_accum", 1))
+    # reference LR rule (train_onepose_plus.py:35-39); the effective batch
+    # includes gradient accumulation
     train_cfg = TrainConfig(
         canonical_lr=cfg.trainer.canonical_lr,
         canonical_bs=cfg.trainer.canonical_bs,
+        grad_accum=grad_accum,
         weight_decay=cfg.trainer.wd,
         milestones=tuple(cfg.trainer.milestones),
         gamma=cfg.trainer.gamma,
@@ -74,9 +77,10 @@ def train(cfg) -> None:
             fine_weight=cfg.loss.fine_weight_base,  # autoscale in compute_losses
         ),
     )
+    effective_bs = world_bs * grad_accum
     print(
-        f"devices={len(devices)} world_bs={world_bs} "
-        f"true_lr={train_cfg.true_lr(world_bs):.2e}"
+        f"devices={len(devices)} world_bs={world_bs} grad_accum={grad_accum} "
+        f"true_lr={train_cfg.true_lr(effective_bs):.2e}"
     )
 
     records = load_records(cfg.dataset.train_anno_file)
@@ -108,7 +112,7 @@ def train(cfg) -> None:
     }
     rng = jax.random.PRNGKey(cfg.seed)
     model, state = create_train_state(
-        rng, model_cfg, train_cfg, jb, world_bs, steps_per_epoch
+        rng, model_cfg, train_cfg, jb, effective_bs, steps_per_epoch
     )
 
     mesh = make_mesh(devices)
