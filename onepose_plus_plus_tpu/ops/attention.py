@@ -3,8 +3,7 @@
 Linear (O(L+S)) attention with the elu+1 feature map — the reference's core
 sequence-scaling mechanism (reference
 ``src/models/OnePosePlus/loftr_module/linear_attention.py:21-61``) — expressed
-as three einsum contractions that XLA maps directly onto the MXU. A fused
-Pallas variant lives in ``onepose_plus_plus_tpu.ops.pallas``.
+as three einsum contractions that XLA maps directly onto the MXU.
 
 Shapes follow [N, seq, heads, head_dim] throughout.
 """

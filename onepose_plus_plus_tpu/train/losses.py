@@ -33,9 +33,15 @@ class LossConfig:
     neg_weight: float = 1.0
     coarse_weight: float = 1.0
     fine_type: str = "l2_with_std"
-    # reference autoscale: 0.25 * (window_size / 5) ** 2 (train_onepose_plus.py:41)
+    # base fine weight; the effective weight applied in compute_losses is
+    # fine_weight * (window_size / 5)^2 (reference train_onepose_plus.py:41)
     fine_weight: float = 0.25
     fine_correct_thr: float = 1.0
+
+
+def effective_fine_weight(cfg: LossConfig, window_size: int) -> float:
+    """Reference autoscale: ``0.25 * (W/5)^2`` (``train_onepose_plus.py:41``)."""
+    return cfg.fine_weight * (window_size / 5.0) ** 2
 
 
 def coarse_focal_loss(
@@ -179,7 +185,7 @@ def compute_losses(
         loss_f = fine_l2_std_loss(
             out["expec_f"], expec_f_gt, out["match_mask"], cfg
         )
-        loss = loss + loss_f * cfg.fine_weight
+        loss = loss + loss_f * effective_fine_weight(cfg, window_size)
         scalars["loss_f"] = loss_f
     scalars["loss"] = loss
     return loss, scalars

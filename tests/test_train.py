@@ -70,6 +70,41 @@ def test_fine_loss_masks_incorrect_and_invalid():
     assert loss == pytest.approx(want, rel=1e-5)
 
 
+def test_fine_weight_autoscale_window9():
+    """Effective fine weight is 0.25*(W/5)^2 (reference train_onepose_plus.py:41)."""
+    from onepose_plus_plus_tpu.train.losses import (
+        compute_losses,
+        effective_fine_weight,
+    )
+
+    cfg = LossConfig()
+    assert effective_fine_weight(cfg, 5) == pytest.approx(0.25)
+    assert effective_fine_weight(cfg, 9) == pytest.approx(0.25 * (9 / 5) ** 2)
+
+    rng = np.random.default_rng(1)
+    n, l, s, k = 1, 8, 16, 4
+    out = {
+        "conf_matrix": jnp.asarray(
+            rng.random((n, l, s)).astype(np.float32) * 0.9 + 0.05
+        ),
+        "i_ids": jnp.asarray(rng.integers(0, l, (n, k)).astype(np.int32)),
+        "j_ids": jnp.asarray(rng.integers(0, s, (n, k)).astype(np.int32)),
+        "hw_c": (4, 4),
+        "expec_f": jnp.asarray(rng.random((n, k, 3)).astype(np.float32)),
+        "match_mask": jnp.ones((n, k), bool),
+    }
+    batch = {
+        "gt_cell": jnp.asarray(rng.integers(-1, s, (n, l)).astype(np.int32)),
+        "gt_fine_xy": jnp.asarray(rng.random((n, l, 2)).astype(np.float32) * 31),
+    }
+    for window in (5, 9):
+        loss, scalars = compute_losses(out, batch, cfg, window_size=window)
+        want = float(scalars["loss_c"]) * cfg.coarse_weight + float(
+            scalars["loss_f"]
+        ) * effective_fine_weight(cfg, window)
+        assert float(loss) == pytest.approx(want, rel=1e-5)
+
+
 def _tiny_cfg():
     return OnePosePlusConfig(
         coarse=TransformerConfig(d_model=256, nhead=8, layer_iter_n=1),
