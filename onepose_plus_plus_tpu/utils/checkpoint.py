@@ -73,6 +73,31 @@ def _torch_name_to_flax_path(name: str) -> Tuple[Tuple[str, ...], str]:
     i = 0
     while i < len(parts) - 1:
         p = parts[i]
+        if p == "kpt_3d_pos_encoding":
+            joined.append("kpt_encoder")
+            i += 1
+            continue
+        if (
+            i + 1 < len(parts) - 1
+            and re.fullmatch(r"layer\d+_outconv2", p)
+            and parts[i + 1].isdigit()
+        ):
+            # FPN refine Sequential(conv3x3, BN, LeakyReLU, conv3x3)
+            # (reference resnet.py layerN_outconv2) -> _OutConv2{conv1,bn,conv2}
+            joined.append(p)
+            joined.append({0: "conv1", 1: "bn", 3: "conv2"}[int(parts[i + 1])])
+            i += 2
+            continue
+        if (
+            i + 1 < len(parts) - 1
+            and p == "encoder"
+            and parts[i + 1].isdigit()
+        ):
+            # KeypointEncoding_linear MLP Sequential (Linear at 0,3,6,9 with
+            # param-free InstanceNorm1d + ReLU between) -> dense_{0..3}
+            joined.append(f"dense_{int(parts[i + 1]) // 3}")
+            i += 2
+            continue
         if (
             i + 1 < len(parts) - 1
             and re.fullmatch(r"layers?|layer\d+|mlp|downsample", p)
