@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import threading
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -129,6 +130,9 @@ class OnePosePlusTrainDataset:
         self.augmentor = augmentor
         self.seed = seed
         self._anno_cache: Dict[str, dict] = {}
+        # augmentors hold one shared np Generator; serialize their draws so
+        # multi-worker loading stays race-free
+        self._aug_lock = threading.Lock()
 
     def __len__(self):
         return len(self.records) * (2 if self.image_warp_adapt else 1)
@@ -154,7 +158,8 @@ class OnePosePlusTrainDataset:
         )  # orig/net
         img = resize_image(img, (self.img_size, self.img_size))
         if self.augmentor is not None:
-            img = self.augmentor(img)
+            with self._aug_lock:
+                img = self.augmentor(img)
         K = rec.K.copy().astype(np.float32)
         K[0] /= scale[0]
         K[1] /= scale[1]
@@ -293,24 +298,85 @@ def batch_examples(examples: Sequence[dict]) -> Dict[str, np.ndarray]:
 
 
 class TrainLoader:
-    """Minimal shuffling, batching, epoch-aware host loader.
+    """Shuffling, batching, epoch-aware host loader with worker threads and
+    batch prefetch.
 
-    The reference uses torch DataLoader (bs 4, shuffle); variable-size
-    collation never happens here because every example is fixed-shape.
+    Equivalent of the reference's multi-worker torch DataLoader (bs 4,
+    shuffle; ``src/datamodules/OnePosePlus_datamodule.py:9-108``):
+    ``num_workers`` threads decode/assemble examples in parallel (image
+    decode + GT projection release the GIL in numpy/cv2) and a background
+    producer keeps up to ``prefetch`` assembled batches queued ahead of the
+    consumer, so the accelerator step overlaps host-side input work.
+    Variable-size collation never happens because every example is
+    fixed-shape. Determinism: the batch order and every example's rng depend
+    only on (seed, epoch, index), not on worker scheduling.
     """
 
-    def __init__(self, dataset, batch_size: int, seed: int = 0, drop_last=True):
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        seed: int = 0,
+        drop_last=True,
+        num_workers: int = 4,
+        prefetch: int = 2,
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
+
+    def _batch_starts(self, order: np.ndarray):
+        n = len(order)
+        end = n - (n % self.batch_size) if self.drop_last else n
+        return range(0, end, self.batch_size)
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
         order = np.random.default_rng(self.seed + epoch_idx).permutation(
             len(self.dataset)
         )
-        n = len(order)
-        end = n - (n % self.batch_size) if self.drop_last else n
-        for s in range(0, end, self.batch_size):
-            idxs = order[s : s + self.batch_size]
-            yield batch_examples([self.dataset[int(i)] for i in idxs])
+        if self.num_workers <= 0:
+            for s in self._batch_starts(order):
+                idxs = order[s : s + self.batch_size]
+                yield batch_examples([self.dataset[int(i)] for i in idxs])
+            return
+
+        import queue
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as ex:
+                    for s in self._batch_starts(order):
+                        if stop.is_set():
+                            return
+                        idxs = [int(i) for i in order[s : s + self.batch_size]]
+                        examples = list(ex.map(self.dataset.__getitem__, idxs))
+                        q.put(batch_examples(examples))
+                q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # unblock the producer if the consumer bailed early
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except Exception:
+                    t.join(timeout=0.05)

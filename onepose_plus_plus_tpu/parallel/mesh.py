@@ -63,6 +63,22 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), rep), tree)
 
 
+def device_prefetch(iterator, put, depth: int = 2):
+    """Double-buffering: keep ``depth`` batches device_put ahead of the
+    consumer so H2D transfer overlaps the previous step's compute (JAX
+    dispatch is async). ``put`` maps a host batch to device arrays (e.g.
+    ``lambda b: shard_batch(b, mesh)``)."""
+    import collections
+
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(put(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def all_gather_metrics(metrics: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Gather per-host metric arrays to every host (gloo-gather replacement).
 

@@ -46,6 +46,44 @@ def load_checkpoint(path: str, target: Any = None) -> Any:
     return ckptr.restore(path)
 
 
+def save_train_state(path: str, state: Any, epoch: int) -> None:
+    """Full training-state checkpoint for resume: params + batch_stats +
+    opt_state + step + next epoch. Equivalent of the reference's PL
+    ``resume_from_checkpoint`` (``OnePosePlus_lightning_model.py:120``,
+    ModelCheckpoint ``train.yaml:204-213``) which round-trips optimizer state
+    and global step, not just weights."""
+    save_checkpoint(
+        path,
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "epoch": jnp.asarray(epoch, jnp.int32),
+        },
+    )
+
+
+def restore_train_state(path: str, state: Any) -> Tuple[Any, int]:
+    """Restore a ``save_train_state`` checkpoint into ``state`` (used as the
+    structure/dtype template). Returns (state, next_epoch)."""
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": jnp.zeros((), jnp.int32),
+    }
+    tree = load_checkpoint(path, target=template)
+    state = state.replace(
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"],
+        step=tree["step"],
+    )
+    return state, int(tree["epoch"])
+
+
 # --------------------------- torch ckpt conversion --------------------------
 
 

@@ -158,6 +158,69 @@ def test_train_step_runs_and_decreases_loss():
     assert losses[-1] < losses[0]  # same batch -> loss must drop
 
 
+def test_train_state_resume_roundtrip(tmp_path):
+    """Full-state save/restore continues the run identically: restoring
+    params+opt_state+step into a fresh state and stepping once matches
+    stepping the uninterrupted original (reference resume_from_checkpoint)."""
+    import functools
+
+    from onepose_plus_plus_tpu.train.train_step import (
+        TrainConfig,
+        create_train_state,
+        train_step,
+    )
+    from onepose_plus_plus_tpu.utils.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    rng_np = np.random.default_rng(3)
+    n, img, l = 1, 64, 16
+    s = (img // 8) ** 2
+    batch = {
+        "query_image": jnp.asarray(rng_np.random((n, img, img, 1), np.float32)),
+        "keypoints3d": jnp.asarray(
+            rng_np.standard_normal((n, l, 3)).astype(np.float32)
+        ),
+        "descriptors3d": jnp.asarray(
+            rng_np.standard_normal((n, l, 128)).astype(np.float32)
+        ),
+        "descriptors3d_coarse": jnp.asarray(
+            rng_np.standard_normal((n, l, 256)).astype(np.float32)
+        ),
+        "gt_cell": jnp.asarray(rng_np.integers(-1, s, (n, l)).astype(np.int32)),
+        "gt_fine_xy": jnp.asarray(
+            (rng_np.random((n, l, 2)) * (img - 1)).astype(np.float32)
+        ),
+    }
+    tc = TrainConfig()
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), _tiny_cfg(), tc, batch, world_batch_size=n
+    )
+    step = jax.jit(functools.partial(train_step, model, train_cfg=tc))
+
+    state, _ = step(state, batch, jax.random.PRNGKey(7))
+    state, _ = step(state, batch, jax.random.PRNGKey(8))
+    save_train_state(str(tmp_path / "last_state"), state, epoch=2)
+
+    # fresh run with a DIFFERENT init seed; restore must overwrite everything
+    _, fresh = create_train_state(
+        jax.random.PRNGKey(99), _tiny_cfg(), tc, batch, world_batch_size=n
+    )
+    restored, next_epoch = restore_train_state(str(tmp_path / "last_state"), fresh)
+    assert next_epoch == 2
+    assert int(restored.step) == int(state.step) == 2
+
+    cont, sc_cont = step(state, batch, jax.random.PRNGKey(9))
+    resumed, sc_res = step(restored, batch, jax.random.PRNGKey(9))
+    assert float(sc_res["loss"]) == pytest.approx(float(sc_cont["loss"]), rel=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(cont.params),
+        jax.tree_util.tree_leaves(resumed.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_graft_entry_multichip():
     import sys
 

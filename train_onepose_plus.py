@@ -29,6 +29,10 @@ from onepose_plus_plus_tpu.train.train_step import (
     train_step,
 )
 from onepose_plus_plus_tpu.utils import load_config, save_checkpoint
+from onepose_plus_plus_tpu.utils.checkpoint import (
+    restore_train_state,
+    save_train_state,
+)
 
 CONFIGS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
 
@@ -48,6 +52,7 @@ def train(cfg) -> None:
     import jax.numpy as jnp
 
     from onepose_plus_plus_tpu.parallel.mesh import (
+        device_prefetch,
         make_mesh,
         replicate,
         shard_batch,
@@ -92,7 +97,13 @@ def train(cfg) -> None:
         augmentor=build_augmentor(cfg.dataset.augmentor, cfg.seed),
         seed=cfg.seed,
     )
-    loader = TrainLoader(dataset, batch_size=world_bs, seed=cfg.seed)
+    loader = TrainLoader(
+        dataset,
+        batch_size=world_bs,
+        seed=cfg.seed,
+        num_workers=int(cfg.trainer.get("loader_workers", 4)),
+        prefetch=int(cfg.trainer.get("loader_prefetch", 2)),
+    )
     steps_per_epoch = max(1, len(dataset) // world_bs)
 
     model_cfg = onepose_config_from_dict(dict(cfg.get("model", {}) or {}))
@@ -115,6 +126,25 @@ def train(cfg) -> None:
         rng, model_cfg, train_cfg, jb, effective_bs, steps_per_epoch
     )
 
+    ckpt_dir = os.path.join(cfg.ckpt_dir, cfg.exp_name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    # resume: trainer.resume=true restores ckpt_dir/last_state; a string value
+    # is an explicit checkpoint path (reference PL resume_from_checkpoint)
+    start_epoch = 0
+    resume = cfg.trainer.get("resume")
+    if resume:
+        resume_path = (
+            resume
+            if isinstance(resume, str)
+            else os.path.join(ckpt_dir, "last_state")
+        )
+        state, start_epoch = restore_train_state(resume_path, state)
+        print(
+            f"resumed from {resume_path}: epoch {start_epoch}, "
+            f"step {int(state.step)}"
+        )
+
     mesh = make_mesh(devices)
     step_fn = jax.jit(functools.partial(train_step, model, train_cfg=train_cfg))
 
@@ -126,9 +156,6 @@ def train(cfg) -> None:
     except Exception:
         pass
 
-    ckpt_dir = os.path.join(cfg.ckpt_dir, cfg.exp_name)
-    os.makedirs(ckpt_dir, exist_ok=True)
-
     with mesh:
         state = state.replace(
             params=replicate(state.params, mesh),
@@ -136,11 +163,15 @@ def train(cfg) -> None:
             opt_state=replicate(state.opt_state, mesh),
             step=replicate(state.step, mesh),
         )
-        global_step = 0
-        for epoch in range(cfg.trainer.epochs):
+        global_step = int(state.step)
+        for epoch in range(start_epoch, cfg.trainer.epochs):
             t0 = time.time()
-            for batch in loader.epoch(epoch):
-                jbatch = shard_batch(
+            # epoch-derived rng so a resumed run draws the same GT-pad samples
+            # as an uninterrupted one
+            rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch + 1)
+
+            def to_device(batch):
+                return shard_batch(
                     {
                         k: v
                         for k, v in batch.items()
@@ -156,6 +187,8 @@ def train(cfg) -> None:
                     },
                     mesh,
                 )
+
+            for jbatch in device_prefetch(loader.epoch(epoch), to_device):
                 rng, sub = jax.random.split(rng)
                 state, scalars = step_fn(state, jbatch, sub)
                 global_step += 1
@@ -177,6 +210,8 @@ def train(cfg) -> None:
                 os.path.join(ckpt_dir, "last"),
                 {"params": state.params, "batch_stats": state.batch_stats},
             )
+            # full state for resume (opt_state + step + next epoch)
+            save_train_state(os.path.join(ckpt_dir, "last_state"), state, epoch + 1)
             # per-epoch validation: pose errors via the fused match+PnP step
             # (reference validation_step -> compute_query_pose_errors ->
             # aggregate_metrics, OnePosePlus_lightning_model.py:90-160)
