@@ -27,11 +27,34 @@ from onepose_plus_plus_tpu.utils import load_checkpoint, load_config
 CONFIGS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
 
 
-def discover_eval_objects(data_dir: str, sfm_dir: str):
-    """Objects with both a test sequence and an SfM annotation."""
+def discover_eval_objects(
+    data_dir: str,
+    sfm_dir: str,
+    ids=None,
+    exception_obj_names=(),
+    top_k_obj=None,
+    num_val_seq=None,
+):
+    """Objects with test sequences and an SfM annotation.
+
+    Mirrors the reference discovery (``/root/reference/inference.py:22-81``):
+    objects are ``XXXX-name`` dirs, optionally restricted to the configured
+    test-split ``ids`` (matched on the 4-char id prefix) minus
+    ``exception_obj_names``; per object the evaluated sequences are every
+    ``name-seq`` dir (excluding ``-demo``), or only the LAST ``num_val_seq``
+    of them when set (reference ``num_val_seq: 1``).
+    """
+    names = sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []
+    names = [n for n in names[top_k_obj:] if "-" in n]
+    if ids:
+        id2full = {n[:4]: n for n in names}
+        names = [id2full[i] for i in ids if i in id2full]
+    exception_obj_names = {e for e in (exception_obj_names or ()) if e}
     out = []
-    for obj_dir in sorted(glob.glob(os.path.join(data_dir, "*"))):
-        base = os.path.basename(obj_dir)
+    for base in names:
+        if base in exception_obj_names:
+            continue
+        obj_dir = os.path.join(data_dir, base)
         anno = os.path.join(sfm_dir, base, "anno", "anno_3d_average.npz")
         if not (os.path.isdir(obj_dir) and os.path.exists(anno)):
             continue
@@ -39,7 +62,11 @@ def discover_eval_objects(data_dir: str, sfm_dir: str):
             s
             for s in sorted(glob.glob(os.path.join(obj_dir, "*")))
             if os.path.isdir(os.path.join(s, "color"))
+            and "-" in os.path.basename(s)
+            and "-demo" not in os.path.basename(s)
         ]
+        if num_val_seq:
+            seqs = seqs[-int(num_val_seq):]
         if seqs:
             out.append((base, seqs, anno))
     return out
@@ -71,7 +98,12 @@ def inference(cfg) -> None:
     import jax
 
     objects = discover_eval_objects(
-        cfg.dataset.data_dir, cfg.dataset.sfm_outputs_dir
+        cfg.dataset.data_dir,
+        cfg.dataset.sfm_outputs_dir,
+        ids=cfg.get("ids"),
+        exception_obj_names=cfg.get("exception_obj_names") or (),
+        top_k_obj=cfg.get("top_k_obj"),
+        num_val_seq=cfg.get("num_val_seq"),
     )
     if not objects:
         print(f"no evaluable objects under {cfg.dataset.data_dir}")
@@ -87,8 +119,11 @@ def inference(cfg) -> None:
     step = None  # shared compiled match+PnP step across objects
 
     for obj_name, seqs, anno_path in objects:
+        # evaluate every selected test sequence, pooled per object
+        # (reference data_dirs = "obj_dir seq1 seq2 ...", inference.py:75-78)
+        records = [r for s in seqs for r in sequence_records(s)]
         ds = OnePosePlusInferenceDataset(
-            anno_path, sequence_records(seqs[-1]), img_size=cfg.dataset.img_resize
+            anno_path, records, img_size=cfg.dataset.img_resize
         )
         if variables is None:
             if weights_path:
@@ -183,9 +218,21 @@ def inference(cfg) -> None:
     summary = aggregate_metrics(
         all_R, all_t, pose_thresholds=tuple(cfg.eval_metrics.pose_thresholds)
     )
+    # per-metric means over objects (reference gathered_metrics,
+    # inference.py:108-135) + the reference metrics.txt block layout
+    gathered = {}
+    for m in per_object.values():
+        for k, v in (m or {}).items():
+            gathered.setdefault(k, []).append(v)
     with open(os.path.join(out_dir, "metrics.txt"), "w") as f:
         for obj, m in per_object.items():
-            f.write(f"{obj}: {json.dumps(m)}\n")
+            f.write(f"{obj}: \n")
+            for k, v in (m or {}).items():
+                f.write(f"{k}: {v}  ")
+            f.write("\n ---------------- \n")
+        f.write("Summary: \n")
+        for k, vs in gathered.items():
+            f.write(f"{k}: {float(np.mean(vs))}\n")
         f.write(f"ALL: {json.dumps(summary)}\n")
     print("ALL:", summary)
 

@@ -22,12 +22,23 @@ from onepose_plus_plus_tpu.utils import load_config, load_checkpoint
 CONFIGS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
 
 
-def discover_objects(data_dir: str):
-    """Find object dirs named ``XXXX-name`` and their ``name-N`` sequences."""
+def discover_objects(data_dir: str, ids=None, exception_obj_names=()):
+    """Find object dirs named ``XXXX-name`` and their ``name-N`` sequences.
+
+    ``ids`` restricts to the configured split's object-id prefixes and
+    ``exception_obj_names`` removes listed objects (reference ``run.py:25-62``
+    / preprocess yaml ``ids`` blocks).
+    """
+    exception_obj_names = {e for e in (exception_obj_names or ()) if e}
+    id_set = {str(i) for i in ids} if ids else None
     objects = []
     for obj_dir in sorted(glob.glob(os.path.join(data_dir, "*"))):
         base = os.path.basename(obj_dir)
         if not os.path.isdir(obj_dir) or "-" not in base:
+            continue
+        if base in exception_obj_names:
+            continue
+        if id_set is not None and base[:4] not in id_set:
             continue
         name = base.split("-", 1)[1]
         seqs = sorted(glob.glob(os.path.join(obj_dir, f"{name.split('-')[0]}-*")))
@@ -63,7 +74,11 @@ def sfm(cfg) -> None:
 
     data_dir = cfg.dataset.data_dir
     out_root = cfg.dataset.outputs_dir
-    objects = discover_objects(data_dir)
+    objects = discover_objects(
+        data_dir,
+        ids=cfg.get("ids"),
+        exception_obj_names=cfg.get("exception_obj_names") or (),
+    )
     if not objects:
         print(f"no objects found under {data_dir}")
         return
@@ -103,8 +118,10 @@ def sfm(cfg) -> None:
         solver_type=s.solver_type,
         overwrite=s.overwrite,
     )
+    # reference uses 1 mapping sequence (sfm yaml); which one is configurable
+    map_idx = int(cfg.dataset.get("mapping_seq_index", 0))
     for obj_name, seqs in objects:
-        seq = seqs[0]  # reference: 1 mapping sequence (sfm yaml)
+        seq = seqs[map_idx if map_idx < len(seqs) else 0]
         paths, poses, Ks, corners = load_sequence(seq)
         if len(paths) < 2:
             print(f"[{obj_name}] skipped: <2 posed frames")

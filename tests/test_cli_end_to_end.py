@@ -72,6 +72,7 @@ def test_sfm_then_inference_then_merge(tmp_path):
         "run.py",
         [
             "+preprocess=sfm_inference_onepose",
+            "ids=null",  # synthetic object id is outside the real test split
             f"dataset.data_dir={data_dir}",
             f"dataset.outputs_dir={sfm_dir}",
             "dataset.down_ratio=1",
@@ -97,6 +98,7 @@ def test_sfm_then_inference_then_merge(tmp_path):
         "run.py",
         [
             "+preprocess=sfm_inference_onepose",
+            "ids=null",  # synthetic object id is outside the real test split
             f"dataset.data_dir={data_dir}",
             f"dataset.outputs_dir={sfm_dir}",
             "dataset.down_ratio=1",
@@ -110,6 +112,7 @@ def test_sfm_then_inference_then_merge(tmp_path):
         "inference.py",
         [
             "+experiment=inference_onepose",
+            "ids=null",
             f"dataset.data_dir={data_dir}",
             f"dataset.sfm_outputs_dir={sfm_dir}",
             "dataset.img_resize=128",
