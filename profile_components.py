@@ -212,11 +212,14 @@ def main():
         )
         v = jax.jit(lambda r: enc.init(r, kpts, desc))(jax.random.PRNGKey(0))
 
+        # NB: desc must be an argument, not a closure constant — the axon
+        # remote-compile tunnel ships closure constants in the compile
+        # request body (a 344 MB capture fails with HTTP 413).
         @jax.jit
-        def f(a, k):
-            return enc.apply(v, normalize_3d_keypoints(a + k * 1e-9), desc)
+        def f(a, d, k):
+            return enc.apply(v, normalize_3d_keypoints(a + k * 1e-9), d)
 
-        print(f"kpt encoder: {bench(f, kpts)*1e3:.1f} ms")
+        print(f"kpt encoder: {bench(f, kpts, desc)*1e3:.1f} ms")
         return
 
     raise SystemExit(f"unknown component {NAME}")
