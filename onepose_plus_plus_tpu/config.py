@@ -27,6 +27,9 @@ class TransformerConfig:
     layer_iter_n: int = 3
     attention: str = "linear"  # 'linear' | 'full'
     norm_method: str = "layernorm"
+    # None = auto: fused Pallas encoder layers at inference on TPU for
+    # long sequences (see models/transformer.py); True/False forces
+    fused_encoder: Optional[bool] = None
 
     @property
     def layer_sequence(self) -> Tuple[str, ...]:

@@ -39,6 +39,7 @@ from ..ops.matching import (
     select_topk_matches,
     pad_matches_with_gt,
 )
+from ..ops.take import take_rows
 from ..ops.window_gather import gather_windows
 from ..ops.soft_argmax import spatial_expectation_2d, heatmap_std
 from .backbone import ResNetFPN_8_2
@@ -102,7 +103,7 @@ class OnePosePlusModel(nn.Module):
 
         # 3. coarse transformer + dual-softmax matching ---------------------
         desc3d_c, feat_query_c = self.loftr_coarse(
-            desc3d_coarse, feat_query_c, mask1=query_mask
+            desc3d_coarse, feat_query_c, mask1=query_mask, train=train
         )
 
         k_slots = (
@@ -165,7 +166,7 @@ class OnePosePlusModel(nn.Module):
             # scale (h, w) -> multiply (x, y) by (w_scale, h_scale)
             s = batch["query_image_scale"][:, None, ::-1]
             mkpts_query_c = mkpts_query_c * s
-        mkpts_3d = jnp.take_along_axis(kpts3d, matches.i_ids[..., None], axis=1)
+        mkpts_3d = take_rows(kpts3d, matches.i_ids)
 
         out: Dict[str, Any] = {
             "i_ids": matches.i_ids,
@@ -200,13 +201,13 @@ class OnePosePlusModel(nn.Module):
                 "fine descriptors3d must match fine feature dim "
                 f"({desc3d_fine.shape[-1]} vs {windows.shape[-1]})"
             )
-        desc_sel = jnp.take_along_axis(desc3d_fine, matches.i_ids[..., None], axis=1)
+        desc_sel = take_rows(desc3d_fine, matches.i_ids)
         # fine transformer over flattened (N*K) match batch
         k = matches.i_ids.shape[1]
         c_f = windows.shape[-1]
         d0 = desc_sel.reshape(n * k, 1, c_f)
         d1 = windows.reshape(n * k, w_win * w_win, c_f)
-        d0, d1 = self.loftr_fine(d0, d1)
+        d0, d1 = self.loftr_fine(d0, d1, train=train)
 
         # 5. correlation heatmap soft-argmax ---------------------------------
         center_desc = d0[:, 0, :]  # [N*K, C]

@@ -5,16 +5,54 @@ pre-projection QKV, linear (elu+1) attention, merge, concat-MLP FFN with two
 LayerNorms, residual add. Layer sequence alternates 'self'/'cross' blocks; in
 each step BOTH streams are updated (query<->source roles swap), matching
 ``LocalFeatureTransformer.forward`` (:133-171).
+
+Two execution paths with an identical parameter tree (checkpoints are
+interchangeable):
+
+- XLA path (training + CPU): composable ops in ``ops/attention.py``.
+- Fused Pallas path (TPU inference, long sequences): the whole encoder layer
+  runs as two streaming kernels (``ops/pallas_encoder.py``), which removes
+  the ~10 full-stream elementwise/LayerNorm HBM round-trips per layer-app.
 """
 from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from ..config import TransformerConfig
 from ..ops.attention import linear_attention, full_attention
+from ..ops.pallas_encoder import fused_encoder_layer
+
+
+class _DenseKernel(nn.Module):
+    """Parameter-only stand-in for nn.Dense(use_bias=False): same tree."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+
+
+class _LayerNormParams(nn.Module):
+    """Parameter-only stand-in for nn.LayerNorm: same tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
 
 
 class LoFTREncoderLayer(nn.Module):
@@ -30,23 +68,61 @@ class LoFTREncoderLayer(nn.Module):
         source: jnp.ndarray,
         x_mask: Optional[jnp.ndarray] = None,
         source_mask: Optional[jnp.ndarray] = None,
+        fused: bool = False,
     ) -> jnp.ndarray:
         """x [N, L, C] attends to source [N, S, C]."""
         n, l, c = x.shape
         dim = self.d_model // self.nhead
         dt = self.dtype
 
-        q = nn.Dense(self.d_model, use_bias=False, name="q_proj", dtype=dt)(x)
-        k = nn.Dense(self.d_model, use_bias=False, name="k_proj", dtype=dt)(source)
-        v = nn.Dense(self.d_model, use_bias=False, name="v_proj", dtype=dt)(source)
-        q = q.reshape(n, l, self.nhead, dim)
-        k = k.reshape(n, source.shape[1], self.nhead, dim)
-        v = v.reshape(n, source.shape[1], self.nhead, dim)
+        if fused and self.attention == "linear":
+            d = self.d_model
+            wq = _DenseKernel(d, d, name="q_proj")()
+            wk = _DenseKernel(d, d, name="k_proj")()
+            wv = _DenseKernel(d, d, name="v_proj")()
+            wm = _DenseKernel(d, d, name="merge")()
+            s1, b1 = _LayerNormParams(d, name="norm1")()
+            w0 = _DenseKernel(2 * d, 2 * d, name="mlp_0")()
+            w1 = _DenseKernel(2 * d, d, name="mlp_1")()
+            s2, b2 = _LayerNormParams(d, name="norm2")()
+            return fused_encoder_layer(
+                x, source, wq, wk, wv, wm, s1, b1, w0, w1, s2, b2,
+                x_mask=x_mask, source_mask=source_mask, nhead=self.nhead,
+            ).astype(jnp.promote_types(x.dtype, jnp.float32))
 
-        attn = linear_attention if self.attention == "linear" else full_attention
-        message = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
+        if (
+            self.attention == "linear"
+            and source.shape[1] == 1
+            and x_mask is None
+            and source_mask is None
+        ):
+            # Exact shortcut for a length-1 source: linear attention collapses
+            # to out = Q'(K'^T V) / (Q'.K') = V for every query (up to the
+            # 1e-6 normalizer eps). Used by the fine stage, where the selected
+            # 3D descriptor is a 1-token stream (reference
+            # ``fine_preprocess.py:41-54`` / ``OnePosePlusModel.py:179-201``)
+            # — skips the per-head KV outer-product machinery entirely.
+            # q/k projections still declared so the param tree (and therefore
+            # checkpoint layout) is identical to the general path.
+            _DenseKernel(self.d_model, self.d_model, name="q_proj")()
+            _DenseKernel(self.d_model, self.d_model, name="k_proj")()
+            v1 = nn.Dense(self.d_model, use_bias=False, name="v_proj", dtype=dt)(
+                source
+            )
+            message = jnp.broadcast_to(v1, (n, l, self.d_model))
+        else:
+            q = nn.Dense(self.d_model, use_bias=False, name="q_proj", dtype=dt)(x)
+            k = nn.Dense(self.d_model, use_bias=False, name="k_proj", dtype=dt)(source)
+            v = nn.Dense(self.d_model, use_bias=False, name="v_proj", dtype=dt)(source)
+            q = q.reshape(n, l, self.nhead, dim)
+            k = k.reshape(n, source.shape[1], self.nhead, dim)
+            v = v.reshape(n, source.shape[1], self.nhead, dim)
+
+            attn = linear_attention if self.attention == "linear" else full_attention
+            message = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
+            message = message.reshape(n, l, self.d_model)
         message = nn.Dense(self.d_model, use_bias=False, name="merge", dtype=dt)(
-            message.reshape(n, l, self.d_model).astype(dt)
+            message.astype(dt)
         )
         # LayerNorms stay f32 for numerical stability
         # torch LayerNorm default eps (1e-5) for checkpoint fidelity
@@ -74,6 +150,7 @@ class LocalFeatureTransformer(nn.Module):
         feat1: jnp.ndarray,
         mask0: Optional[jnp.ndarray] = None,
         mask1: Optional[jnp.ndarray] = None,
+        train: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """feat0 [N, L, C] (e.g. 3D descriptors), feat1 [N, S, C] (query grid).
 
@@ -82,6 +159,17 @@ class LocalFeatureTransformer(nn.Module):
         image-pair matcher may mask both.
         """
         dt = getattr(jnp, self.cfg.compute_dtype, jnp.float32)
+        fused = self.cfg.fused_encoder
+        if fused is None:
+            # auto: TPU inference with long sequences (the fused kernels tile
+            # 512-row blocks; tiny per-sequence lengths like the 25-token fine
+            # windows stay on the XLA path)
+            fused = (
+                not train
+                and self.cfg.attention == "linear"
+                and jax.default_backend() == "tpu"
+                and min(feat0.shape[1], feat1.shape[1]) >= 256
+            )
         for idx, name in enumerate(self.cfg.layer_sequence):
             layer = LoFTREncoderLayer(
                 self.cfg.d_model,
@@ -92,13 +180,13 @@ class LocalFeatureTransformer(nn.Module):
             )
             if name == "self":
                 feat0, feat1 = (
-                    layer(feat0, feat0, mask0, mask0),
-                    layer(feat1, feat1, mask1, mask1),
+                    layer(feat0, feat0, mask0, mask0, fused=fused),
+                    layer(feat1, feat1, mask1, mask1, fused=fused),
                 )
             elif name == "cross":
                 feat0, feat1 = (
-                    layer(feat0, feat1, mask0, mask1),
-                    layer(feat1, feat0, mask1, mask0),
+                    layer(feat0, feat1, mask0, mask1, fused=fused),
+                    layer(feat1, feat0, mask1, mask0, fused=fused),
                 )
             else:
                 raise ValueError(name)

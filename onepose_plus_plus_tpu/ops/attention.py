@@ -41,6 +41,10 @@ def linear_attention(
     (an fp16-overflow guard in the reference; harmless in fp32/bf16 and kept
     for bit-parity with released checkpoints).
     """
+    if jax.default_backend() != "tpu" and q.dtype == jnp.bfloat16:
+        # the CPU backend cannot execute mixed bf16->f32 dots
+        # (DotThunk: "Unsupported element type ... BF16 x BF16 = F32")
+        q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
     Q = _elu_feature_map(q)
     K = _elu_feature_map(k)
     if q_mask is not None:

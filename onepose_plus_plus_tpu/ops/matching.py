@@ -39,6 +39,10 @@ def dual_softmax_confidence(
     normalizer), similarity divided by (temperature + 1e-4), -1e9 added at
     masked positions, then softmax over rows times softmax over columns.
     """
+    # matching numerics are f32 regardless of the model compute dtype (the
+    # backbone/transformer may hand over bf16 features)
+    feat0 = feat0.astype(jnp.float32)
+    feat1 = feat1.astype(jnp.float32)
     if feat_norm == "sqrt_feat_dim":
         scale = 1.0 / (feat0.shape[-1] ** 0.5)
         feat0 = feat0 * scale

@@ -51,7 +51,19 @@ def main():
         print(f"nop: {bench(nop, img)*1e3:.1f} ms")
         return
 
-    if NAME in ("forward", "step"):
+    if NAME in ("forward", "step", "fwd_nofine", "fwd_noctx"):
+        import dataclasses as dc
+
+        if NAME == "fwd_nofine":
+            cfg = dc.replace(cfg, fine=dc.replace(cfg.fine, enable=False))
+            model = OnePosePlusModel(cfg)
+        elif NAME == "fwd_noctx":
+            cfg = dc.replace(
+                cfg,
+                fine=dc.replace(cfg.fine, enable=False),
+                coarse=dc.replace(cfg.coarse, layer_iter_n=0),
+            )
+            model = OnePosePlusModel(cfg)
         batch = {
             "query_image": jnp.asarray(rng.random((BATCH, IMG, IMG, 1), np.float32)),
             "keypoints3d": jnp.asarray(
@@ -67,7 +79,7 @@ def main():
         variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
             jax.random.PRNGKey(0), batch
         )
-        if NAME == "forward":
+        if NAME != "step":
 
             @jax.jit
             def fwd(b, k):
