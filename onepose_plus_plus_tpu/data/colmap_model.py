@@ -363,15 +363,22 @@ def model_stats(
     (parsed by reference ``triangulation.py:192-210``)."""
     n_obs = sum(len(p.image_ids) for p in points3d.values())
     n_reg = sum(1 for im in images.values() if (im.point3D_ids >= 0).any())
-    track_lens = [len(p.image_ids) for p in points3d.values()]
-    errors = [p.error for p in points3d.values()]
+    track_lens = np.array([len(p.image_ids) for p in points3d.values()])
+    errors = np.array([p.error for p in points3d.values()])
+    # COLMAP's model_analyzer reports the observation-weighted mean (each
+    # point's error is its per-observation mean, so weighting by track length
+    # recovers the mean over observations); keep that so the number is
+    # comparable to reference COLMAP logs when tuning thresholds
+    mean_err = (
+        float(np.sum(errors * track_lens) / max(n_obs, 1)) if len(errors) else 0.0
+    )
     return {
         "num_cameras": len(cameras),
         "num_images": len(images),
         "num_reg_images": n_reg,
         "num_points3D": len(points3d),
         "num_observations": int(n_obs),
-        "mean_track_length": float(np.mean(track_lens)) if track_lens else 0.0,
+        "mean_track_length": float(np.mean(track_lens)) if len(track_lens) else 0.0,
         "mean_observations_per_image": (n_obs / max(n_reg, 1)),
-        "mean_reprojection_error": float(np.mean(errors)) if errors else 0.0,
+        "mean_reprojection_error": mean_err,
     }

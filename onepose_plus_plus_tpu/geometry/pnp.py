@@ -86,23 +86,57 @@ def _orthogonalize(M: jnp.ndarray) -> jnp.ndarray:
     return X
 
 
-def _smallest_eigvec(AtA: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+def _smallest_eigvec(AtA: jnp.ndarray, iters: int = 4) -> jnp.ndarray:
     """Smallest eigenvector of a symmetric PSD [D, D] by inverse iteration.
 
-    Cholesky-solve based — replaces jnp.linalg.eigh, whose QR-iteration
-    lowering dominates batched small-matrix RANSAC on TPU.
+    Fully unrolled scalar Cholesky + triangular solves: under the RANSAC
+    [B, H] double-vmap every scalar here becomes one fused VPU op over all
+    hypotheses. The previous ``cho_factor``/``cho_solve`` version lowered to
+    a batched LAPACK-style custom-call that alone cost ~30 ms/step at
+    48x512 hypotheses on v5e; this form costs <2 ms. D is static (12 for the
+    DLT), so the D^3/6 multiply-adds unroll at trace time.
     """
     d = AtA.shape[-1]
     shift = 1e-6 * (jnp.trace(AtA) / d) + 1e-12
-    A = AtA + shift * jnp.eye(d, dtype=AtA.dtype)
-    cho = jax.scipy.linalg.cho_factor(A)
-    v = jnp.ones((d,), AtA.dtype) / (d**0.5)
 
-    def body(_, v):
-        v = jax.scipy.linalg.cho_solve(cho, v)
-        return v / (jnp.linalg.norm(v) + _EPS)
+    # Cholesky A = L L^T, scalars unrolled (lower triangle only)
+    L = [[None] * d for _ in range(d)]
+    inv_diag = [None] * d
+    for j in range(d):
+        s = AtA[j, j] + shift
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        diag = jnp.sqrt(jnp.maximum(s, 1e-20))
+        L[j][j] = diag
+        inv_diag[j] = 1.0 / diag
+        for i in range(j + 1, d):
+            s = AtA[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_diag[j]
 
-    return jax.lax.fori_loop(0, iters, body, v)
+    def solve(v):
+        # L y = v (forward), L^T x = y (backward)
+        y = [None] * d
+        for i in range(d):
+            s = v[i]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s * inv_diag[i]
+        x = [None] * d
+        for i in reversed(range(d)):
+            s = y[i]
+            for k in range(i + 1, d):
+                s = s - L[k][i] * x[k]
+            x[i] = s * inv_diag[i]
+        return x
+
+    v = [jnp.asarray(1.0 / (d**0.5), AtA.dtype)] * d
+    for _ in range(iters):
+        v = solve(v)
+        norm = jnp.sqrt(sum(c * c for c in v)) + _EPS
+        v = [c / norm for c in v]
+    return jnp.stack(v)
 
 
 def _fit_pose_dlt(pts3d: jnp.ndarray, pts2dn: jnp.ndarray) -> tuple:

@@ -27,7 +27,7 @@ import flax.linen as nn
 
 from ..config import LoFTRConfig
 from ..ops.matching import dual_softmax_confidence, select_topk_matches
-from ..ops.window_gather import gather_windows
+from ..ops.window_gather import gather_windows, gather_windows_aligned
 from ..ops.soft_argmax import spatial_expectation_2d, heatmap_std
 from .backbone import ResNetFPN_8_2
 from .position_encoding import sine_position_encoding
@@ -144,10 +144,14 @@ class LoFTRMatcher(nn.Module):
         positions (image-0 keypoints stay at window centers, like LoFTR).
         """
         w_win = self.cfg.fine_window_size
-        n, k = centers0.shape[:2]
         win0 = gather_windows(f0_map, centers0, w_win)  # [N, K, WW, C]
         win1 = gather_windows(f1_map, centers1, w_win)
-        c_f = win0.shape[-1]
+        return self._fine_refine_windows(win0, win1)
+
+    def _fine_refine_windows(self, win0, win1):
+        """Fine transformer + correlation soft-argmax over gathered windows."""
+        w_win = self.cfg.fine_window_size
+        n, k, _, c_f = win0.shape
         d0 = win0.reshape(n * k, w_win * w_win, c_f)
         d1 = win1.reshape(n * k, w_win * w_win, c_f)
         d0, d1 = self.loftr_fine(d0, d1)
@@ -197,13 +201,10 @@ class LoFTRMatcher(nn.Module):
         scale_c = h_i / hw0_c[0]
         scale_f = h_i / h_f
 
-        centers0 = jnp.stack(
-            [(m.i_ids // hw0_c[1]) * stride, (m.i_ids % hw0_c[1]) * stride], -1
-        )
-        centers1 = jnp.stack(
-            [(m.j_ids // hw1_c[1]) * stride, (m.j_ids % hw1_c[1]) * stride], -1
-        )
-        coords, std = self._fine_refine(f0_map, f1_map, centers0, centers1)
+        w = self.cfg.fine_window_size
+        win0 = gather_windows_aligned(f0_map, m.i_ids, hw0_c, stride, w)
+        win1 = gather_windows_aligned(f1_map, m.j_ids, hw1_c, stride, w)
+        coords, std = self._fine_refine_windows(win0, win1)
 
         mkpts0 = (
             jnp.stack([m.i_ids % hw0_c[1], m.i_ids // hw0_c[1]], -1).astype(jnp.float32)

@@ -40,7 +40,7 @@ from ..ops.matching import (
     pad_matches_with_gt,
 )
 from ..ops.take import take_rows
-from ..ops.window_gather import gather_windows
+from ..ops.window_gather import gather_windows_aligned
 from ..ops.soft_argmax import spatial_expectation_2d, heatmap_std
 from .backbone import ResNetFPN_8_2
 from .position_encoding import (
@@ -189,11 +189,10 @@ class OnePosePlusModel(nn.Module):
         # 4. fine-level refinement ------------------------------------------
         w_win = cfg.fine.window_size
         stride = h_f // h_c
-        centers = jnp.stack(
-            [(matches.j_ids // w_c) * stride, (matches.j_ids % w_c) * stride],
-            axis=-1,
-        )  # [N, K, 2] (row, col) on fine grid
-        windows = gather_windows(feat_f_map, centers, w_win)  # [N, K, WW, Cf]
+        # windows are centered on coarse cells -> MXU-aligned gather
+        windows = gather_windows_aligned(
+            feat_f_map, matches.j_ids, (h_c, w_c), stride, w_win
+        )  # [N, K, WW, Cf]
 
         desc3d_fine = batch["descriptors3d"]
         if desc3d_fine.shape[-1] != windows.shape[-1]:

@@ -53,29 +53,35 @@ def linear_attention(
         K = K * kv_mask[:, :, None, None].astype(K.dtype)
         v = v * kv_mask[:, :, None, None].astype(v.dtype)
 
-    v_length = v.shape[1]
-    v_scaled = v / v_length
-    # KV: [N, H, D, D_v] — one matmul per head, MXU-friendly. Accumulate in
-    # f32 even when inputs are bf16 (preferred_element_type).
-    KV = jnp.einsum(
-        "nshd,nshv->nhdv", K, v_scaled, preferred_element_type=jnp.float32
+    n, l, h, d = Q.shape
+    s = K.shape[1]
+    c = h * d
+    v_length = s
+    # Full-width block-masked contraction: per-head [D, D] KV outer products
+    # are MXU-hostile (D=16/32 pads to 128 lanes, and the [N, S, H, D]
+    # reshapes relayout every operand — ~12 ms/step of copies at the fine
+    # stage's [24576, 25, 8, 16] on v5e). Instead contract over the FULL
+    # feature width and zero the cross-head blocks: adding exact zeros in
+    # f32 keeps per-head results identical while every matmul is C-wide.
+    # (The H x MAC inflation is projection-sized and bf16-cheap.)
+    Qf = Q.reshape(n, l, c)
+    Kf = K.reshape(n, s, c)
+    Vf = (v / v_length).reshape(n, s, c)
+    lane = jnp.arange(c) // d
+    block = (lane[:, None] == lane[None, :]).astype(jnp.float32)  # [C, C]
+    KV = (
+        jnp.einsum("nsc,nsv->ncv", Kf, Vf, preferred_element_type=jnp.float32)
+        * block
     )
-    # Normalizer Z: [N, L, H]
-    K_sum = jnp.sum(K.astype(jnp.float32), axis=1)  # [N, H, D]
-    Z = 1.0 / (
-        jnp.einsum(
-            "nlhd,nhd->nlh", Q, K_sum, preferred_element_type=jnp.float32
-        )
-        + eps
+    K_sum = jnp.sum(Kf.astype(jnp.float32), axis=1)  # [N, C]
+    # per-lane normalizer: z[n, l, c2] = sum_{c1 in head(c2)} Q[c1] K_sum[c1]
+    kvx = jnp.concatenate([KV, block * K_sum[:, :, None]], axis=-1)  # [N,C,2C]
+    ext = jnp.einsum(
+        "nlc,ncx->nlx", Qf, kvx.astype(Qf.dtype),
+        preferred_element_type=jnp.float32,
     )
-    out = (
-        jnp.einsum(
-            "nlhd,nhdv->nlhv", Q, KV, preferred_element_type=jnp.float32
-        )
-        * Z[..., None]
-        * v_length
-    )
-    return out
+    out = ext[:, :, :c] / (ext[:, :, c:] + eps) * v_length
+    return out.reshape(n, l, h, d)
 
 
 def full_attention(

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .matching import CoarseMatches, _border_keep
+from .take import take_scalars
 
 _NEG = -1e30
 
@@ -86,16 +87,20 @@ def _lse_kernel(
         )  # [R, l_tile]
         sim = sim + radd[:, None] + cadd_ref[0, 0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)][None, :]
 
-        # online row LSE over this column tile
+        # ONE exp pass serves both reductions: e = exp(sim - rowmax) feeds the
+        # row sums directly, and rescaling rows by exp(rowmax - tilemax) turns
+        # the same e into exp(sim - tilemax) for the column sums (2 exp + 2
+        # max full-tile passes -> 1 + 1; the kernel is VPU-bound).
         tile_max = jnp.max(sim, axis=1)  # [R]
+        e = jnp.exp(sim - tile_max[:, None])
         new_max = jnp.maximum(row_max, tile_max)
         row_sum = row_sum * jnp.exp(row_max - new_max) + jnp.sum(
-            jnp.exp(sim - new_max[:, None]), axis=1
-        )
-        # column LSE contribution of this row tile (full reduction over R)
-        cmax = jnp.max(sim, axis=0)  # [l_tile]
-        csum = jnp.sum(jnp.exp(sim - cmax[None, :]), axis=0)
-        part = cmax + jnp.log(csum + 1e-30)  # [l_tile] partial LSE
+            e, axis=1
+        ) * jnp.exp(tile_max - new_max)
+        # column LSE contribution of this row tile, shifted by the tile max
+        m_t = jnp.max(tile_max)
+        csum = jnp.sum(e * jnp.exp(tile_max - m_t)[:, None], axis=0)
+        part = m_t + jnp.log(csum + 1e-30)  # [l_tile] partial LSE
         old = col_lse_ref[0, 0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)]
         col_lse_ref[0, 0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)] = jnp.logaddexp(old, part)
         return new_max, row_sum
@@ -350,13 +355,20 @@ def fused_select_topk_matches(
     )
 
     j_of_row = stats["row_best_j"]  # [B, P]
-    # mutual: the best row of this row's best column is this row
-    col_best_p_at_j = jnp.take_along_axis(stats["col_best_p"], j_of_row, axis=1)
-    mutual = col_best_p_at_j == jnp.arange(p)[None, :]
+    # mutual: the best row of this row's best column is this row. The two
+    # per-column lookups (best row id + border keep) ride one factorized
+    # one-hot gather (ops.take.take_scalars; XLA's scalar gather is a ~6 ms
+    # row loop at [48, 7000] on v5e) with both values packed into one int.
+    col_keep = _border_keep(h, w, border_rm, border_two_sided)  # [L]
+    packed = stats["col_best_p"] * 2 + jnp.broadcast_to(
+        col_keep.astype(jnp.int32), stats["col_best_p"].shape
+    )
+    packed_at_j = take_scalars(packed, j_of_row)  # [B, P]
+    mutual = (packed_at_j // 2) == jnp.arange(p)[None, :]
+    keep_at_j = (packed_at_j % 2) == 1
     conf = jnp.exp(stats["row_best_val"] - stats["row_lse"])  # [B, P]
 
-    col_keep = _border_keep(h, w, border_rm, border_two_sided)  # [L]
-    valid = mutual & (conf > thr) & col_keep[j_of_row]
+    valid = mutual & (conf > thr) & keep_at_j
     if row_grid_hw is not None:
         rh, rw = row_grid_hw
         assert rh * rw == p

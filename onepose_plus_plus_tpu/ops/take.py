@@ -19,6 +19,46 @@ import jax
 import jax.numpy as jnp
 
 
+def take_scalars(
+    values: jnp.ndarray, ids: jnp.ndarray, _force_mxu: bool = False
+) -> jnp.ndarray:
+    """Batched scalar gather: values [B, M], ids [B, K] -> [B, K].
+
+    XLA lowers per-element gathers to a ~17 ns/element row loop on TPU
+    (~5.8 ms for the [48, 7000] <- [48, 4096] mutual-NN lookup in the fused
+    matcher). Factorizing the one-hot through M = m1 x 128 makes it two
+    small MXU/VPU passes: rows = onehot(ids // 128) @ values.reshape(m1, 128)
+    then a fused one-hot-weighted row reduction. Exact for integer values
+    with |v| < 2^24 (f32 products of 0/1 weights) and any float values
+    (each output is a 1-sparse sum).
+
+    Out-of-range ids return 0. Non-TPU backends use take_along_axis (ids
+    clamped).
+    """
+    if jax.default_backend() != "tpu" and not _force_mxu:
+        return jnp.take_along_axis(
+            values, jnp.clip(ids, 0, values.shape[1] - 1), axis=1
+        )
+    b, m = values.shape
+    m2 = 128
+    m1 = -(-m // m2)
+    vals = values.astype(jnp.float32)
+    if m1 * m2 != m:
+        vals = jnp.pad(vals, ((0, 0), (0, m1 * m2 - m)))
+    hi = jax.nn.one_hot(ids // m2, m1, dtype=jnp.float32)  # [B, K, m1]
+    rows = jnp.einsum(
+        "bkh,bhl->bkl",
+        hi,
+        vals.reshape(b, m1, m2),
+        preferred_element_type=jnp.float32,
+    )  # [B, K, 128]
+    lo = jax.nn.one_hot(ids % m2, m2, dtype=jnp.float32)
+    out = jnp.sum(rows * lo, axis=-1)
+    # ids // m2 in [0, m1) but ids % m2 hitting the zero padding is fine;
+    # negative ids: one_hot gives zeros -> 0
+    return out.astype(values.dtype)
+
+
 def take_rows(values: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """Batched row gather: values [B, L, C], ids [B, K] -> [B, K, C].
 

@@ -31,10 +31,18 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
 
 
 def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
-    """Upsample [N, H, W, C] -> [N, 2H, 2W, C] (bilinear, align_corners=True)."""
+    """Upsample [N, H, W, C] -> [N, 2H, 2W, C] (bilinear, align_corners=True).
+
+    Axis order matters on TPU: the width contraction needs a relayout (w is
+    not the minor dim), so it runs FIRST at the low resolution where the
+    relayout touches 4x less data; the height contraction then maps to a
+    clean batched matmul over [h, (2w*c)] with no layout change. Doing rows
+    first cost ~10 ms of pure layout copies per FPN level at
+    [48, 256, 256, 196] on v5e.
+    """
     n, h, w, c = x.shape
     Ah = jnp.asarray(_interp_matrix(h, 2 * h), dtype=x.dtype)
     Aw = jnp.asarray(_interp_matrix(w, 2 * w), dtype=x.dtype)
-    x = jnp.einsum("nhwc,Hh->nHwc", x, Ah)
-    x = jnp.einsum("nhwc,Ww->nhWc", x, Aw)
-    return x
+    x = jnp.einsum("Ww,nhwc->nhWc", Aw, x)
+    x = jnp.einsum("Hh,nhq->nHq", Ah, x.reshape(n, h, 2 * w * c))
+    return x.reshape(n, 2 * h, 2 * w, c)

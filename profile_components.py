@@ -167,7 +167,7 @@ def main():
         K = 512
         feat_f = jnp.asarray(
             rng.standard_normal((BATCH, IMG // 2, IMG // 2, 128)).astype(np.float32)
-        )
+        ).astype(jnp.bfloat16)  # model hands over bf16 fine maps
         centers = jnp.asarray(
             rng.integers(8, IMG // 2 - 8, (BATCH, K, 2)).astype(np.int32)
         )

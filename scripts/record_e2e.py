@@ -1,0 +1,170 @@
+"""Record a full end-to-end pipeline run and commit its artifacts.
+
+Builds a dense synthetic OnePose-format object (plane-homography rendered, so
+correspondences from ANY photometric matcher satisfy the true epipolar
+geometry), then drives the real CLIs exactly as a user would:
+
+    run.py (keypoint-free SfM -> anno npz + COLMAP model + stats.json)
+    inference.py (eval -> metrics.txt)
+    demo.py (tracking video)
+    merge.py (COCO-style training annotations)
+
+and snapshots the stats/metrics artifacts into artifacts/e2e/ for the
+regression bands in tests/test_cli_end_to_end.py (VERDICT round-1 item #5:
+"run one real end-to-end sequence and record it").
+
+Usage: python scripts/record_e2e.py [--frames 12] [--img 256]
+"""
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def run_cli(script, args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # keep the axon TPU plugin out of CPU subprocesses entirely: the
+    # sitecustomize register() dials the TPU relay at interpreter start
+    # and can deadlock the child before main() runs
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    print(f"== {script} {' '.join(args)}", flush=True)
+    r = subprocess.run(
+        [sys.executable, script] + args, cwd=REPO, env=env, text=True,
+        capture_output=True, timeout=3600,
+    )
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(r.stderr[-4000:])
+        raise SystemExit(f"{script} failed rc={r.returncode}")
+    return r
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--img", type=int, default=256)
+    ap.add_argument("--workdir", default="/tmp/e2e_record")
+    args = ap.parse_args()
+
+    import cv2
+    from synthetic_scenes import make_scene
+
+    obj, seq = "0001-toy-box", "toy-1"
+    data_dir = os.path.join(args.workdir, "data")
+    sfm_dir = os.path.join(args.workdir, "sfm_outputs")
+    out_dir = os.path.join(args.workdir, "results")
+    shutil.rmtree(args.workdir, ignore_errors=True)
+
+    rng = np.random.default_rng(0)
+    K, pts, Ts = make_scene(
+        rng, n_views=args.frames, n_pts=64, img=float(args.img)
+    )
+    seq_dir = os.path.join(data_dir, obj, seq)
+    for sub in ("color", "intrin_ba", "poses_ba"):
+        os.makedirs(os.path.join(seq_dir, sub), exist_ok=True)
+    # dense block texture: 1/8-scale coarse cells must be feature-rich
+    tex = (np.kron(rng.random((64, 64)), np.ones((8, 8))) * 255).astype(np.uint8)
+    S = np.array(
+        [[512 / 0.8, 0, 256], [0, 512 / 0.8, 256], [0, 0, 1.0]]
+    )
+    for i in range(args.frames):
+        R, t = Ts[i][:3, :3], Ts[i][:3, 3]
+        M = K @ np.stack([R[:, 0], R[:, 1], t], axis=1)
+        H = M @ np.linalg.inv(S)
+        im = cv2.warpPerspective(tex, H, (args.img, args.img))
+        cv2.imwrite(os.path.join(seq_dir, "color", f"{i}.png"), im)
+        np.savetxt(os.path.join(seq_dir, "intrin_ba", f"{i}.txt"), K)
+        np.savetxt(os.path.join(seq_dir, "poses_ba", f"{i}.txt"), Ts[i])
+    corners = np.array(
+        [[x, y, z] for z in (-0.3, 0.3) for y in (-0.3, 0.3) for x in (-0.3, 0.3)]
+    )
+    np.savetxt(os.path.join(data_dir, obj, "box3d_corners.txt"), corners)
+
+    run_cli(
+        "run.py",
+        [
+            "+preprocess=sfm_inference_onepose",
+            "ids=null",
+            f"dataset.data_dir={data_dir}",
+            f"dataset.outputs_dir={sfm_dir}",
+            "dataset.down_ratio=1",
+            "sfm.pair_batch=4",
+            "sfm.covis_num=8",
+            "sfm.max_epipolar_error_px=8.0",
+            "model.match_coarse.thr=0.000001",
+            "model.compute_dtype=float32",
+        ],
+    )
+    run_cli(
+        "inference.py",
+        [
+            "+experiment=inference_onepose",
+            "ids=null",
+            f"dataset.data_dir={data_dir}",
+            f"dataset.sfm_outputs_dir={sfm_dir}",
+            f"dataset.img_resize={args.img}",
+            "dataset.shape3d=512",
+            "inference.frame_batch=4",
+            "inference.num_hypotheses=128",
+            "model.compute_dtype=float32",
+            f"output_dir={out_dir}",
+        ],
+    )
+    video_out = os.path.join(args.workdir, "demo.mp4")
+    run_cli(
+        "demo.py",
+        [
+            "+experiment=inference_demo",
+            f"dataset.data_dir={data_dir}",
+            f"dataset.sfm_outputs_dir={sfm_dir}",
+            f"dataset.img_resize={args.img}",
+            "dataset.shape3d=512",
+            "demo.num_ref_views=4",
+            "model.compute_dtype=float32",
+            f"demo.output_video={video_out}",
+        ],
+    )
+    run_cli(
+        "merge.py",
+        [
+            "+preprocess=merge_anno",
+            f"dataset.sfm_outputs_dir={sfm_dir}",
+            f"dataset.out_train_file={os.path.join(args.workdir, 'train_anno.json')}",
+            "dataset.out_val_file=null",
+        ],
+    )
+
+    art = os.path.join(REPO, "artifacts", "e2e")
+    os.makedirs(art, exist_ok=True)
+    stats = json.load(open(os.path.join(sfm_dir, obj, "stats.json")))
+    shutil.copy(os.path.join(sfm_dir, obj, "stats.json"), os.path.join(art, "stats.json"))
+    shutil.copy(os.path.join(out_dir, "metrics.txt"), os.path.join(art, "metrics.txt"))
+    po = os.path.join(sfm_dir, obj, "post_optimize.json")
+    if os.path.exists(po):
+        shutil.copy(po, os.path.join(art, "post_optimize.json"))
+    meta = {
+        "scene": {"frames": args.frames, "img": args.img, "texture_blocks": 64,
+                  "weights": "random-init (no released checkpoint in this environment)"},
+        "commands": ["run.py", "inference.py", "demo.py", "merge.py"],
+        "demo_video_bytes": os.path.getsize(video_out),
+    }
+    json.dump(meta, open(os.path.join(art, "meta.json"), "w"), indent=1)
+    print(json.dumps(stats, indent=1))
+    print("artifacts ->", art)
+
+
+if __name__ == "__main__":
+    main()

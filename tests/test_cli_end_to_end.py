@@ -46,6 +46,10 @@ def make_onepose_object(root, obj="0001-toy-box", seq="toy-1", n_frames=6, img=1
 def run_cli(script, args, cwd=REPO):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # keep the axon TPU plugin out of CPU subprocesses entirely: the
+    # sitecustomize register() dials the TPU relay at interpreter start
+    # and can deadlock the child before main() runs
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )
@@ -92,6 +96,13 @@ def test_sfm_then_inference_then_merge(tmp_path):
     assert n_pts > 10, f"too few SfM points: {n_pts}"
     stats = json.load(open(os.path.join(sfm_dir, obj, "stats.json")))
     assert stats["num_points3D"] == n_pts
+    # regression bands calibrated on the recorded artifact run
+    # (artifacts/e2e/stats.json: 12 frames/256px -> 72 pts, track 2.24,
+    # 1.48 px obs-weighted reprojection error): a geometrically consistent
+    # scene must triangulate multi-view tracks at low reprojection error
+    assert stats["mean_track_length"] >= 2.0, stats
+    assert stats["mean_reprojection_error"] < 2.5, stats
+    assert stats["num_reg_images"] >= 4, stats
 
     # second run must reuse cached stages (no overwrite) and still succeed
     r2 = run_cli(

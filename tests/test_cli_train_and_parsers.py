@@ -18,6 +18,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_cli(script, args, cwd=REPO, timeout=900):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # keep the axon TPU plugin out of CPU subprocesses entirely: the
+    # sitecustomize register() dials the TPU relay at interpreter start
+    # and can deadlock the child before main() runs
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )

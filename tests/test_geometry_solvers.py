@@ -156,6 +156,7 @@ class TestPnP:
         # outliers must not be counted as inliers
         assert not np.asarray(res.inliers)[: n_out // 2].any() or n_out == 0
 
+    @pytest.mark.slow
     def test_batched(self):
         rng = np.random.default_rng(7)
         B, n = 4, 96
@@ -178,6 +179,7 @@ class TestPnP:
         for b in range(B):
             assert np.abs(np.asarray(res.R[b]) - Ts[b][:3, :3]).max() < 5e-3
 
+    @pytest.mark.slow
     def test_degenerate_returns_not_ok(self):
         n = 16
         res = ransac_pnp(

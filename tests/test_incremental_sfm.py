@@ -86,6 +86,7 @@ class TestRefineExtrinsics:
 
 
 class TestIncrementalSfM:
+    @pytest.mark.slow
     def test_maps_synthetic_scene(self):
         rng = np.random.default_rng(3)
         n_views = 6

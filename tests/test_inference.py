@@ -3,6 +3,7 @@ and the object detector's affine RANSAC + bbox logic."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from onepose_plus_plus_tpu.inference import (
     LocalFeatureObjectDetector,
@@ -151,6 +152,7 @@ class MockMatcherModel:
 
 
 class TestRunInference:
+    @pytest.mark.slow
     def test_end_to_end_with_mock_matcher(self):
         rng = np.random.default_rng(3)
         n_frames = 4
@@ -185,6 +187,7 @@ class TestRunInference:
         assert (res.t_errs < 2.0).all(), res.t_errs
         assert res.metrics["5cm@5degree"] == 1.0
 
+    @pytest.mark.slow
     def test_no_gt_demo_mode(self):
         rng = np.random.default_rng(4)
         K, pts, Ts = make_scene(rng, n_views=2, n_pts=300)
@@ -203,6 +206,7 @@ class TestRunInference:
 
 
 class TestMeshSharding:
+    @pytest.mark.slow
     def test_run_inference_on_8_device_mesh(self):
         import jax
 

@@ -89,3 +89,29 @@ def test_pad_matches_with_gt():
         assert conf_gt[0, i, j] == 1.0
     # both GT rows appear (3 slots from 2 rows -> with wraparound both present)
     assert {1, 4} == set(gt_i.tolist()) | ({1, 4} & set(gt_i.tolist()))
+
+
+def test_take_scalars_mxu_formulation_exact():
+    """The factorized one-hot scalar gather (TPU path) must equal
+    take_along_axis for in-range ids and return 0 for out-of-range ids,
+    for s32, bool and f32 values, including non-multiple-of-128 widths."""
+    import numpy as np
+    from onepose_plus_plus_tpu.ops.take import take_scalars
+
+    rng = np.random.default_rng(0)
+    for m in (4096, 300):
+        ids = rng.integers(0, m, (3, 50)).astype(np.int32)
+        ids[:, -2] = -1
+        ids[:, -1] = m + 7
+        for vals in (
+            rng.integers(0, 2**20, (3, m)).astype(np.int32),
+            rng.random((3, m)) > 0.5,
+            rng.standard_normal((3, m)).astype(np.float32),
+        ):
+            out = np.asarray(
+                take_scalars(jnp.asarray(vals), jnp.asarray(ids), _force_mxu=True)
+            )
+            ref = np.take_along_axis(vals, np.clip(ids, 0, m - 1), axis=1)
+            ref[:, -2:] = 0
+            assert out.dtype == vals.dtype
+            np.testing.assert_array_equal(out, ref)

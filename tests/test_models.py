@@ -45,7 +45,8 @@ def o3d_setup():
         "descriptors3d": jax.random.normal(rng, (n, L, 8)) * 0.1,
         "descriptors3d_coarse": jax.random.normal(rng, (n, L, 16)) * 0.1,
     }
-    variables = model.init({"params": rng, "matching": rng}, batch)
+    # jitted init: op-by-op dispatch of the un-jitted tracer costs ~40 s
+    variables = jax.jit(model.init)({"params": rng, "matching": rng}, batch)
     return cfg, model, variables, batch
 
 
@@ -72,6 +73,7 @@ def test_onepose_plus_forward_jit_and_vmapable(o3d_setup):
     assert out["mkpts_query_f"].shape[0] == 2
 
 
+@pytest.mark.slow
 def test_onepose_plus_train_mode_gt_padding(o3d_setup):
     cfg, model, variables, batch = o3d_setup
     n, L, S = 2, 24, 64
@@ -94,6 +96,7 @@ def test_onepose_plus_train_mode_gt_padding(o3d_setup):
     assert set(gt_rows.reshape(-1).tolist()) <= {3, 5}
 
 
+@pytest.mark.slow
 def test_loftr_matcher_modes():
     cfg = LoFTRConfig(
         backbone=TINY_BACKBONE,
@@ -130,6 +133,7 @@ def test_loftr_matcher_modes():
     assert np.all(np.isfinite(np.asarray(out_r["mkpts1_f"])))
 
 
+@pytest.mark.slow
 def test_matching_self_consistency_identical_images():
     """Matching an image with itself should produce near-diagonal matches."""
     cfg = LoFTRConfig(
@@ -155,6 +159,7 @@ def test_matching_self_consistency_identical_images():
 
 
 class TestComputeDtype:
+    @pytest.mark.slow
     def test_bf16_matches_f32_forward(self):
         """bf16 compute path must agree with f32 on match selection."""
         import numpy as np
@@ -202,6 +207,7 @@ class TestComputeDtype:
 
 
 class TestBackboneVariants:
+    @pytest.mark.slow
     def test_fpn_16_4_shapes(self):
         import numpy as np
 

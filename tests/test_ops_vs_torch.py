@@ -1,6 +1,7 @@
 """Cross-checks of TPU ops against torch reference semantics (torch is CPU-only here)."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -38,6 +39,38 @@ def test_gather_windows_matches_unfold():
         gather_windows(jnp.asarray(feat), jnp.asarray(centers.astype(np.int32)), W)
     )[0]
     np.testing.assert_allclose(ours, unfolded, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_gather_windows_aligned_matches_generic():
+    """The MXU block-gather (cell-aligned centers) must equal the generic XLA
+    gather exactly, for every window/stride combination both matchers use,
+    f32 and bf16, including out-of-range (padded-slot) cell ids -> zeros."""
+    from onepose_plus_plus_tpu.ops.window_gather import gather_windows_aligned
+
+    rng = np.random.RandomState(2)
+    for win, stride, (h_c, w_c), C in [(5, 4, (8, 6), 7), (9, 4, (6, 9), 3)]:
+        N, K = 2, 30
+        H, W_img = stride * h_c, stride * w_c
+        feat = rng.randn(N, H, W_img, C).astype(np.float32)
+        cells = rng.randint(0, h_c * w_c, (N, K)).astype(np.int32)
+        cells[:, -3:] = [-1, h_c * w_c, 2**20]  # padded / out-of-range slots
+        centers = np.stack(
+            [cells // w_c * stride, cells % w_c * stride], -1
+        ).astype(np.int32)
+        for dt in (jnp.float32, jnp.bfloat16):
+            f = jnp.asarray(feat).astype(dt)
+            out = gather_windows_aligned(
+                f, jnp.asarray(cells), (h_c, w_c), stride, win
+            )
+            assert out.dtype == dt
+            ref = np.array(gather_windows(f, jnp.asarray(centers), win))
+            ref[:, -3:] = 0.0  # aligned path zeroes out-of-range ids
+            np.testing.assert_allclose(
+                np.asarray(out.astype(jnp.float32)),
+                np.asarray(jnp.asarray(ref).astype(jnp.float32)),
+                atol=0,
+            )
 
 
 def test_spatial_expectation_matches_kornia_convention():

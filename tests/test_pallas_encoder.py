@@ -43,6 +43,7 @@ def _run_fused(p, x, src, nhead, xm=None, sm=None, tile=128):
         (2, 70, 300, 256, 4),   # L smaller than a tile, 4 heads
     ],
 )
+@pytest.mark.slow
 def test_fused_matches_xla(n, l, s, c, nhead):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, l, c)).astype(np.float32))

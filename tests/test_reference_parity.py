@@ -50,6 +50,7 @@ def _init_jax_model(img, kpts, d_fine, d_coarse, max_matches: int):
     return model, variables, batch
 
 
+@pytest.mark.slow
 def test_full_state_dict_converts_strict():
     """Every torch tensor maps; every flax leaf is covered (no drift)."""
     ref = build_reference_onepose_model()
@@ -121,6 +122,7 @@ def _run_parity(img_hw: int, n_points: int, max_matches: int):
         np.testing.assert_allclose(mc_j[by_j[k]], mc_t[by_t[k]], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_full_forward_parity():
     _run_parity(img_hw=256, n_points=2000, max_matches=1024)
 

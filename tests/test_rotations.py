@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation
@@ -65,6 +66,7 @@ def test_qvec_roundtrip():
     np.testing.assert_allclose(R_scipy, np.asarray(R), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_grad_through_rodrigues():
     def loss(aa):
         R = angle_axis_to_matrix(aa)

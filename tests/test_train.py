@@ -70,6 +70,7 @@ def test_fine_loss_masks_incorrect_and_invalid():
     assert loss == pytest.approx(want, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_fine_weight_autoscale_window9():
     """Effective fine weight is 0.25*(W/5)^2 (reference train_onepose_plus.py:41)."""
     from onepose_plus_plus_tpu.train.losses import (
@@ -117,6 +118,7 @@ def _tiny_cfg():
     )
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_decreases_loss():
     from onepose_plus_plus_tpu.train.train_step import (
         TrainConfig,
@@ -158,6 +160,7 @@ def test_train_step_runs_and_decreases_loss():
     assert losses[-1] < losses[0]  # same batch -> loss must drop
 
 
+@pytest.mark.slow
 def test_train_state_resume_roundtrip(tmp_path):
     """Full-state save/restore continues the run identically: restoring
     params+opt_state+step into a fresh state and stepping once matches
@@ -221,6 +224,7 @@ def test_train_state_resume_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import sys
 
@@ -264,6 +268,7 @@ class TestCallbacks:
         assert np.isclose(w.logged["train/grad_global_norm"], 2.0)
 
 
+@pytest.mark.slow
 def test_grad_accum_updates_params_every_k_steps():
     """optax.MultiSteps wiring: params move only after grad_accum micro-steps."""
     import numpy as np

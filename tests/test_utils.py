@@ -116,6 +116,7 @@ class TestTorchConversion:
         }
         return model, model.init(jax.random.PRNGKey(0), batch, train=False)
 
+    @pytest.mark.slow
     def test_backbone_and_transformer_mapping(self):
         _, variables = self._variables()
         rng = np.random.default_rng(0)
