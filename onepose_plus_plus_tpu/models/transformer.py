@@ -128,8 +128,11 @@ class LoFTREncoderLayer(nn.Module):
         # torch LayerNorm default eps (1e-5) for checkpoint fidelity
         message = nn.LayerNorm(name="norm1", epsilon=1e-5, dtype=jnp.float32)(message)
 
+        # concat in the compute dtype: Dense(dtype=dt) would cast right back
+        # down, and the f32 [N, L, 2C] concat materialization costs ~4 ms/step
+        # at the fine stage's [24576, 25, 256] on v5e
         message = nn.Dense(2 * self.d_model, use_bias=False, name="mlp_0", dtype=dt)(
-            jnp.concatenate([x.astype(jnp.float32), message], axis=-1)
+            jnp.concatenate([x.astype(dt), message.astype(dt)], axis=-1)
         )
         message = nn.relu(message)
         message = nn.Dense(self.d_model, use_bias=False, name="mlp_1", dtype=dt)(message)

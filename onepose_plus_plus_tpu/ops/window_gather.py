@@ -87,20 +87,36 @@ def gather_windows_aligned(
     dt = jnp.bfloat16 if s2d.dtype == jnp.bfloat16 else jnp.float32
 
     # cell (i, j)'s neighbourhood spans padded blocks (i + br, j + bc),
-    # br/bc in [0, nb) — its own block sits at (i + pad_lo, j + pad_lo)
+    # br/bc in [0, nb) — its own block sits at (i + pad_lo, j + pad_lo).
+    # All nb^2 selections ride ONE matmul (stacked along the row dim) so the
+    # space-to-depth tensor streams from HBM once, not nb^2 times.
+    flats = []
+    for br in range(nb):
+        for bc in range(nb):
+            flat = (ci + br) * wp + (cj + bc)
+            flats.append(jnp.where(in_range, flat, -1))  # one_hot(-1) -> zero
+    flat_all = jnp.stack(flats, axis=1).reshape(n, nb * nb * k)
+    if jax.default_backend() == "tpu" and s2d.dtype == jnp.bfloat16:
+        # fused kernel: the one-hot tiles are generated in registers instead
+        # of materializing an [N, nb^2*K, hp*wp] factor in HBM
+        from .pallas_gather import take_rows_mxu
+
+        blk_all = take_rows_mxu(s2d, flat_all)
+    else:
+        onehot = jax.nn.one_hot(flat_all, hp * wp, dtype=dt)
+        blk_all = jax.lax.dot_general(
+            onehot,
+            s2d.astype(dt),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    blk_all = blk_all.reshape(n, nb * nb, k, stride, stride, c)
+
     rows = []
     for br in range(nb):
         cols = []
         for bc in range(nb):
-            flat = (ci + br) * wp + (cj + bc)
-            flat = jnp.where(in_range, flat, -1)  # one_hot(-1) -> zero row
-            onehot = jax.nn.one_hot(flat, hp * wp, dtype=dt)
-            blk = jax.lax.dot_general(
-                onehot,
-                s2d.astype(dt),
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).reshape(n, k, stride, stride, c)
+            blk = blk_all[:, br * nb + bc]
             # static column slice of this block
             lo = max(off - bc * stride, 0)
             hi = min(off + window - bc * stride, stride)

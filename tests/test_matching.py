@@ -115,3 +115,29 @@ def test_take_scalars_mxu_formulation_exact():
             ref[:, -2:] = 0
             assert out.dtype == vals.dtype
             np.testing.assert_array_equal(out, ref)
+
+
+def test_take_rows_mxu_kernel_exact():
+    """The fused one-hot gather-matmul kernel (interpret mode) must copy
+    selected bf16 rows bit-exactly and zero out-of-range ids, including
+    non-tile-multiple M/G."""
+    import numpy as np
+    from onepose_plus_plus_tpu.ops.pallas_gather import take_rows_mxu
+
+    rng = np.random.default_rng(1)
+    for (m, g) in [(300, 130), (512, 256)]:
+        vals = jnp.asarray(rng.standard_normal((2, m, g)).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        ids = rng.integers(0, m, (2, 40)).astype(np.int32)
+        ids[:, -2] = -1
+        ids[:, -1] = m + 5
+        out = take_rows_mxu(vals, jnp.asarray(ids), interpret=True, tile_m=128, tile_g=128)
+        assert out.dtype == jnp.bfloat16
+        ref = np.asarray(vals.astype(jnp.float32))[
+            np.arange(2)[:, None], np.clip(ids, 0, m - 1)
+        ]
+        ref[:, -2:] = 0.0
+        np.testing.assert_array_equal(
+            np.asarray(out.astype(jnp.float32)), ref
+        )

@@ -298,3 +298,4 @@ def test_sine_pe_matches_torch_reference():
         sine_position_encoding(jnp.asarray(x), temp_bug_fix=False)
     )[0]
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
