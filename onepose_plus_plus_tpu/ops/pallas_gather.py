@@ -8,6 +8,9 @@ generates each one-hot tile in registers (an ids == iota compare) and
 accumulates the selection matmul tile-by-tile: HBM traffic collapses to one
 stream of the source rows plus the output.
 
+K is tiled too (the LoFTR window-9 path gathers 9*1024 rows — an untiled
+[K', TG] f32 accumulator would blow the 16 MB VMEM scope).
+
 Selection is exact: 0/1 weights with one non-zero per output row, f32
 accumulation.
 """
@@ -26,15 +29,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(ids_ref, src_ref, out_ref, acc_ref, *, tm: int, n_m: int):
-    m_idx = pl.program_id(2)
+    m_idx = pl.program_id(3)
 
     @pl.when(m_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    ids = ids_ref[0, 0]  # [K] int32
+    ids = ids_ref[0, 0]  # [TK] int32
     rows = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], tm), 1) + m_idx * tm
-    onehot = (ids[:, None] == rows).astype(jnp.bfloat16)  # [K, TM] in registers
+    onehot = (ids[:, None] == rows).astype(jnp.bfloat16)  # [TK, TM] in registers
     acc_ref[:] += jax.lax.dot_general(
         onehot,
         src_ref[0].astype(jnp.bfloat16),
@@ -47,11 +50,14 @@ def _kernel(ids_ref, src_ref, out_ref, acc_ref, *, tm: int, n_m: int):
         out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile_m", "tile_g"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile_k", "tile_m", "tile_g")
+)
 def take_rows_mxu(
     values: jnp.ndarray,
     ids: jnp.ndarray,
     interpret: bool = False,
+    tile_k: int = 2048,
     tile_m: int = 1024,
     tile_g: int = 512,
 ) -> jnp.ndarray:
@@ -65,30 +71,41 @@ def take_rows_mxu(
     b, m, g = values.shape
     k = ids.shape[1]
     interpret = interpret or jax.default_backend() != "tpu"
+    tk = min(tile_k, _round_up(k, 8))
     tm = min(tile_m, _round_up(m, 8))
     tg = min(tile_g, _round_up(g, 128))
+    k_pad = _round_up(k, tk)
     m_pad = _round_up(m, tm)
     g_pad = _round_up(g, tg)
     src = values
     if (m_pad, g_pad) != (m, g):
         src = jnp.pad(values, ((0, 0), (0, m_pad - m), (0, g_pad - g)))
+    ids_p = ids.astype(jnp.int32)
+    if k_pad != k:
+        ids_p = jnp.pad(ids_p, ((0, 0), (0, k_pad - k)), constant_values=-1)
     n_m = m_pad // tm
     out = pl.pallas_call(
         functools.partial(_kernel, tm=tm, n_m=n_m),
-        grid=(b, g_pad // tg, n_m),
+        grid=(b, k_pad // tk, g_pad // tg, n_m),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, k), lambda i, jg, jm: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, tk),
+                lambda i, jk, jg, jm: (i, 0, jk),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tm, tg), lambda i, jg, jm: (i, jm, jg), memory_space=pltpu.VMEM
+                (1, tm, tg),
+                lambda i, jk, jg, jm: (i, jm, jg),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, k, tg), lambda i, jg, jm: (i, 0, jg), memory_space=pltpu.VMEM
+            (1, tk, tg), lambda i, jk, jg, jm: (i, jk, jg), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, k, g_pad), values.dtype),
-        scratch_shapes=[pltpu.VMEM((k, tg), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, k_pad, g_pad), values.dtype),
+        scratch_shapes=[pltpu.VMEM((tk, tg), jnp.float32)],
         interpret=interpret,
-    )(ids.astype(jnp.int32)[:, None, :], src)
-    return out[:, :, :g] if g_pad != g else out
+    )(ids_p[:, None, :], src)
+    if (k_pad, g_pad) != (k, g):
+        out = out[:, :k, :g]
+    return out

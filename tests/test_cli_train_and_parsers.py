@@ -43,7 +43,7 @@ def test_train_cli_runs_and_checkpoints(tmp_path):
 
     rng = np.random.default_rng(0)
     n_pts, img = 40, 64
-    K, pts, Ts = make_scene(rng, n_views=4, n_pts=n_pts, img=float(img))
+    K, pts, Ts = make_scene(rng, n_views=8, n_pts=n_pts, img=float(img))
     d = tmp_path / "obj"
     (d / "color").mkdir(parents=True)
     anno_p = str(d / "anno_3d_average.npz")
@@ -60,7 +60,7 @@ def test_train_cli_runs_and_checkpoints(tmp_path):
         np.ones(n_pts, np.float32),
     )
     manifest = []
-    for i in range(4):
+    for i in range(8):
         p = str(d / "color" / f"{i}.png")
         cv2.imwrite(p, (rng.random((img, img)) * 255).astype(np.uint8))
         manifest.append(

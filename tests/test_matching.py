@@ -132,7 +132,10 @@ def test_take_rows_mxu_kernel_exact():
         ids = rng.integers(0, m, (2, 40)).astype(np.int32)
         ids[:, -2] = -1
         ids[:, -1] = m + 5
-        out = take_rows_mxu(vals, jnp.asarray(ids), interpret=True, tile_m=128, tile_g=128)
+        out = take_rows_mxu(
+            vals, jnp.asarray(ids), interpret=True,
+            tile_k=16, tile_m=128, tile_g=128,
+        )
         assert out.dtype == jnp.bfloat16
         ref = np.asarray(vals.astype(jnp.float32))[
             np.arange(2)[:, None], np.clip(ids, 0, m - 1)

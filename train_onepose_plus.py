@@ -104,6 +104,12 @@ def train(cfg) -> None:
         num_workers=int(cfg.trainer.get("loader_workers", 4)),
         prefetch=int(cfg.trainer.get("loader_prefetch", 2)),
     )
+    if len(dataset) < world_bs:
+        raise SystemExit(
+            f"dataset has {len(dataset)} samples but the world batch is "
+            f"{world_bs} (batch_size x devices); drop_last would yield zero "
+            "steps — reduce trainer.batch_size/n_devices or add data"
+        )
     steps_per_epoch = max(1, len(dataset) // world_bs)
 
     model_cfg = onepose_config_from_dict(dict(cfg.get("model", {}) or {}))
