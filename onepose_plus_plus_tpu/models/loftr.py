@@ -202,8 +202,8 @@ class LoFTRMatcher(nn.Module):
         scale_f = h_i / h_f
 
         w = self.cfg.fine_window_size
-        win0 = gather_windows_aligned(f0_map, m.i_ids, hw0_c, stride, w)
-        win1 = gather_windows_aligned(f1_map, m.j_ids, hw1_c, stride, w)
+        win0 = gather_windows_aligned(f0_map, m.i_ids, hw0_c, stride, w, train=train)
+        win1 = gather_windows_aligned(f1_map, m.j_ids, hw1_c, stride, w, train=train)
         coords, std = self._fine_refine_windows(win0, win1)
 
         mkpts0 = (

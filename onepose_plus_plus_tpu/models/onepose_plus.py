@@ -191,7 +191,7 @@ class OnePosePlusModel(nn.Module):
         stride = h_f // h_c
         # windows are centered on coarse cells -> MXU-aligned gather
         windows = gather_windows_aligned(
-            feat_f_map, matches.j_ids, (h_c, w_c), stride, w_win
+            feat_f_map, matches.j_ids, (h_c, w_c), stride, w_win, train=train
         )  # [N, K, WW, Cf]
 
         desc3d_fine = batch["descriptors3d"]

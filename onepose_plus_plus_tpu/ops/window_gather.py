@@ -38,6 +38,7 @@ def gather_windows_aligned(
     grid_hw: Tuple[int, int],
     stride: int,
     window: int,
+    train: bool = False,
 ) -> jnp.ndarray:
     """Gather WxW windows centered at ``stride * cell`` (MXU formulation).
 
@@ -49,6 +50,8 @@ def gather_windows_aligned(
         grid_hw: (h_c, w_c) coarse grid shape.
         stride: fine pixels per coarse cell (h_f // h_c).
         window: odd window size W.
+        train: True routes the selection through the differentiable XLA
+            one-hot matmul (the Pallas kernel is forward-only).
     Returns:
         [N, K, W*W, C] windows; taps outside the map are zero.
     """
@@ -96,7 +99,7 @@ def gather_windows_aligned(
             flat = (ci + br) * wp + (cj + bc)
             flats.append(jnp.where(in_range, flat, -1))  # one_hot(-1) -> zero
     flat_all = jnp.stack(flats, axis=1).reshape(n, nb * nb * k)
-    if jax.default_backend() == "tpu" and s2d.dtype == jnp.bfloat16:
+    if not train and jax.default_backend() == "tpu" and s2d.dtype == jnp.bfloat16:
         # fused kernel: the one-hot tiles are generated in registers instead
         # of materializing an [N, nb^2*K, hp*wp] factor in HBM
         from .pallas_gather import take_rows_mxu
