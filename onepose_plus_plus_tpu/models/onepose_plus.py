@@ -201,10 +201,12 @@ class OnePosePlusModel(nn.Module):
                 f"({desc3d_fine.shape[-1]} vs {windows.shape[-1]})"
             )
         desc_sel = take_rows(desc3d_fine, matches.i_ids)
-        # fine transformer over flattened (N*K) match batch
+        # fine transformer over flattened (N*K) match batch; the descriptor
+        # stream follows the window (compute) dtype so bf16 configs keep a
+        # bf16 stream end-to-end
         k = matches.i_ids.shape[1]
         c_f = windows.shape[-1]
-        d0 = desc_sel.reshape(n * k, 1, c_f)
+        d0 = desc_sel.astype(windows.dtype).reshape(n * k, 1, c_f)
         d1 = windows.reshape(n * k, w_win * w_win, c_f)
         d0, d1 = self.loftr_fine(d0, d1, train=train)
 

@@ -138,7 +138,10 @@ class LoFTREncoderLayer(nn.Module):
         message = nn.Dense(self.d_model, use_bias=False, name="mlp_1", dtype=dt)(message)
         message = nn.LayerNorm(name="norm2", epsilon=1e-5, dtype=jnp.float32)(message)
 
-        return x + message
+        # residual in the INPUT dtype: LN internals stay f32, but a bf16
+        # stream (the fine stage feeds bf16 windows at inference) must not be
+        # silently promoted — the f32 [24576, 25, C] stream cost ~4 ms/step
+        return x + message.astype(x.dtype)
 
 
 class LocalFeatureTransformer(nn.Module):
