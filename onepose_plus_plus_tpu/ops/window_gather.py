@@ -65,16 +65,22 @@ def gather_windows_aligned(
     nb = -(-(off + window) // stride)  # blocks spanned per axis
     pad_hi = nb - pad_lo  # blocks after the last cell's own block
 
+    hp, wp = h_c + pad_lo + pad_hi, w_c + pad_lo + pad_hi
+    # extra bottom block rows so hp*wp is a multiple of the gather kernel's
+    # m-tile (tile_m = rows_per_tile * wp): padding the already-necessary fp
+    # pad is free, while padding the 850 MB space-to-depth tensor inside the
+    # kernel would be another full copy (~3 ms/step at the flagship shapes)
+    rows_per_tile = 16 if 16 * wp <= 1536 else 8
+    hp = -(-hp // rows_per_tile) * rows_per_tile
     fp = jnp.pad(
         feat,
         (
             (0, 0),
-            (pad_lo * stride, pad_hi * stride),
+            (pad_lo * stride, hp * stride - pad_lo * stride - h),
             (pad_lo * stride, pad_hi * stride),
             (0, 0),
         ),
     )
-    hp, wp = h_c + pad_lo + pad_hi, w_c + pad_lo + pad_hi
     # space-to-depth: the (hp, stride) row split is a free row-major reshape,
     # only the transpose moves data
     s2d = (
@@ -104,7 +110,7 @@ def gather_windows_aligned(
         # of materializing an [N, nb^2*K, hp*wp] factor in HBM
         from .pallas_gather import take_rows_mxu
 
-        blk_all = take_rows_mxu(s2d, flat_all)
+        blk_all = take_rows_mxu(s2d, flat_all, tile_m=rows_per_tile * wp)
     else:
         onehot = jax.nn.one_hot(flat_all, hp * wp, dtype=dt)
         blk_all = jax.lax.dot_general(
