@@ -145,7 +145,7 @@ def inference(cfg) -> None:
         model,
         variables,
         reproj_threshold_px=cfg.demo.pnp_reproj_thr,
-        num_hypotheses=512,
+        num_hypotheses=cfg.demo.num_hypotheses,
     )
 
     out_dir = os.path.join("demo_frames", obj_name)
