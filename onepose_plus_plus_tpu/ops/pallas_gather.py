@@ -35,9 +35,11 @@ def _kernel(ids_ref, src_ref, out_ref, acc_ref, *, tm: int, n_m: int):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    ids = ids_ref[0, 0]  # [TK] int32
+    ids = ids_ref[0, :, :]  # [TK, 1] int32, sublane-oriented (no 1D relayout:
+    # lane->sublane reorientation of 1D vectors miscompiled under Mosaic in
+    # the matching kernels; keep ids 2D in the orientation the compare needs)
     rows = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], tm), 1) + m_idx * tm
-    onehot = (ids[:, None] == rows).astype(jnp.bfloat16)  # [TK, TM] in registers
+    onehot = (ids == rows).astype(jnp.bfloat16)  # [TK, TM] in registers
     acc_ref[:] += jax.lax.dot_general(
         onehot,
         src_ref[0].astype(jnp.bfloat16),
@@ -89,8 +91,8 @@ def take_rows_mxu(
         grid=(b, k_pad // tk, g_pad // tg, n_m),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, tk),
-                lambda i, jk, jg, jm: (i, 0, jk),
+                (1, tk, 1),
+                lambda i, jk, jg, jm: (i, jk, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -105,7 +107,7 @@ def take_rows_mxu(
         out_shape=jax.ShapeDtypeStruct((b, k_pad, g_pad), values.dtype),
         scratch_shapes=[pltpu.VMEM((tk, tg), jnp.float32)],
         interpret=interpret,
-    )(ids_p[:, None, :], src)
+    )(ids_p[:, :, None], src)
     if (k_pad, g_pad) != (k, g):
         out = out[:, :k, :g]
     return out

@@ -52,30 +52,36 @@ def _round_up(x: int, m: int) -> int:
 def _lse_kernel(
     f0_ref,  # [1, R, C] row-tile features (3D points)
     f1_ref,  # [1, L, C] full column features (image cells)
-    radd_ref,  # [1, 1, P] additive row mask (-1e9 invalid, 0 valid), full
+    radd_ref,  # [1, R, 1] additive row mask tile (-1e9 invalid, 0 valid)
     cadd_ref,  # [1, 1, L] additive col mask
-    row_lse_ref,  # out [1, 1, P] (each row tile writes its slice)
+    row_lse_ref,  # out [1, R, 1] (one block per row tile)
     col_lse_ref,  # out [1, 1, L] (accumulated over row tiles)
     *,
     l_tile: int,
     r_tile: int,
     inv_temp: float,
 ):
+    # Everything stays 2D in its natural orientation — row stats as [R, 1]
+    # sublane columns, col stats as [1, L] lane rows. 1D vectors crossing the
+    # sublane<->lane boundary (e.g. a lane-sliced row vector broadcast over
+    # columns) miscompiled under Mosaic at multi-tile shapes (correct in
+    # interpret mode), which silently zeroed TPU match counts.
     pt = pl.program_id(1)
     r = f0_ref.shape[1]
     l_total = f1_ref.shape[1]
     n_lt = l_total // l_tile
 
     f0 = f0_ref[0, :, :]
-    radd = radd_ref[0, 0, pl.ds(pl.multiple_of(pt * r_tile, r_tile), r_tile)]
+    radd = radd_ref[0, :, :]  # [R, 1]
 
     @pl.when(pt == 0)
     def _():
         col_lse_ref[:, :, :] = jnp.full_like(col_lse_ref, _NEG)
 
     def body(lt, carry):
-        row_max, row_sum = carry
-        f1_tile = f1_ref[0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile), :]
+        row_max, row_sum = carry  # [R, 1] each
+        lsl = pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)
+        f1_tile = f1_ref[0, lsl, :]
         sim = (
             jax.lax.dot_general(
                 f0,
@@ -85,32 +91,29 @@ def _lse_kernel(
             )
             * inv_temp
         )  # [R, l_tile]
-        sim = sim + radd[:, None] + cadd_ref[0, 0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)][None, :]
+        sim = sim + radd + cadd_ref[0, :, lsl]
 
         # ONE exp pass serves both reductions: e = exp(sim - rowmax) feeds the
         # row sums directly, and rescaling rows by exp(rowmax - tilemax) turns
         # the same e into exp(sim - tilemax) for the column sums (2 exp + 2
         # max full-tile passes -> 1 + 1; the kernel is VPU-bound).
-        tile_max = jnp.max(sim, axis=1)  # [R]
-        e = jnp.exp(sim - tile_max[:, None])
+        tile_max = jnp.max(sim, axis=1, keepdims=True)  # [R, 1]
+        e = jnp.exp(sim - tile_max)
         new_max = jnp.maximum(row_max, tile_max)
         row_sum = row_sum * jnp.exp(row_max - new_max) + jnp.sum(
-            e, axis=1
+            e, axis=1, keepdims=True
         ) * jnp.exp(tile_max - new_max)
         # column LSE contribution of this row tile, shifted by the tile max
-        m_t = jnp.max(tile_max)
-        csum = jnp.sum(e * jnp.exp(tile_max - m_t)[:, None], axis=0)
-        part = m_t + jnp.log(csum + 1e-30)  # [l_tile] partial LSE
-        old = col_lse_ref[0, 0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)]
-        col_lse_ref[0, 0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)] = jnp.logaddexp(old, part)
+        m_t = jnp.max(tile_max)  # scalar
+        csum = jnp.sum(e * jnp.exp(tile_max - m_t), axis=0, keepdims=True)
+        part = m_t + jnp.log(csum + 1e-30)  # [1, l_tile] partial LSE
+        col_lse_ref[0, :, lsl] = jnp.logaddexp(col_lse_ref[0, :, lsl], part)
         return new_max, row_sum
 
-    row_max0 = jnp.full((r,), _NEG, jnp.float32)
-    row_sum0 = jnp.zeros((r,), jnp.float32)
+    row_max0 = jnp.full((r, 1), _NEG, jnp.float32)
+    row_sum0 = jnp.zeros((r, 1), jnp.float32)
     row_max, row_sum = jax.lax.fori_loop(0, n_lt, body, (row_max0, row_sum0))
-    row_lse_ref[0, 0, pl.ds(pl.multiple_of(pt * r_tile, r_tile), r_tile)] = row_max + jnp.log(
-        row_sum + 1e-30
-    )
+    row_lse_ref[0, :, :] = row_max + jnp.log(row_sum + 1e-30)
 
 
 # ------------------------- kernel 2: argmax pass ---------------------------
@@ -119,12 +122,12 @@ def _lse_kernel(
 def _argmax_kernel(
     f0_ref,  # [1, R, C]
     f1_ref,  # [1, L, C]
-    radd_ref,  # [1, 1, P]
+    radd_ref,  # [1, R, 1]
     cadd_ref,  # [1, 1, L]
-    row_lse_ref,  # [1, 1, P]
+    row_lse_ref,  # [1, R, 1]
     col_lse_ref,  # [1, 1, L]
-    row_val_ref,  # out [1, 1, P] max_l (2s - colLSE), tile-sliced writes
-    row_j_ref,  # out [1, 1, P] int32 argmax
+    row_val_ref,  # out [1, R, 1] max_l (2s - colLSE), one block per row tile
+    row_j_ref,  # out [1, R, 1] int32 argmax
     col_val_ref,  # out [1, 1, L] max_p (2s - rowLSE), accumulated
     col_p_ref,  # out [1, 1, L] int32 argmax, accumulated
     *,
@@ -132,23 +135,28 @@ def _argmax_kernel(
     r_tile: int,
     inv_temp: float,
 ):
+    # 2D-only orientation discipline: see _lse_kernel. Argmaxes are computed
+    # as min-index-of-max via 2D iota (first index on ties, matching XLA).
     pt = pl.program_id(1)
     r = f0_ref.shape[1]
     l_total = f1_ref.shape[1]
     n_lt = l_total // l_tile
 
     f0 = f0_ref[0, :, :]
-    radd = radd_ref[0, 0, pl.ds(pl.multiple_of(pt * r_tile, r_tile), r_tile)]
-    row_lse = row_lse_ref[0, 0, pl.ds(pl.multiple_of(pt * r_tile, r_tile), r_tile)]
+    radd = radd_ref[0, :, :]  # [R, 1]
+    row_lse = row_lse_ref[0, :, :]  # [R, 1]
 
     @pl.when(pt == 0)
     def _():
         col_val_ref[:, :, :] = jnp.full_like(col_val_ref, _NEG)
         col_p_ref[:, :, :] = jnp.zeros_like(col_p_ref)
 
+    big = jnp.int32(2**30)
+
     def body(lt, carry):
-        best_val, best_j = carry
-        f1_tile = f1_ref[0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile), :]
+        best_val, best_j = carry  # [R, 1] each
+        lsl = pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)
+        f1_tile = f1_ref[0, lsl, :]
         sim = (
             jax.lax.dot_general(
                 f0,
@@ -158,38 +166,39 @@ def _argmax_kernel(
             )
             * inv_temp
         )
-        sim = sim + radd[:, None] + cadd_ref[0, 0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)][None, :]
+        sim = sim + radd + cadd_ref[0, :, lsl]
         two_s = 2.0 * sim
 
         # --- row argmax of (2s - colLSE[l])
-        col_lse_tile = col_lse_ref[0, 0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)]
-        rscore = two_s - col_lse_tile[None, :]  # [R, l_tile]
-        tile_best = jnp.max(rscore, axis=1)
-        tile_j = jnp.argmax(rscore, axis=1).astype(jnp.int32) + lt * l_tile
+        rscore = two_s - col_lse_ref[0, :, lsl]  # [R, l_tile]
+        tile_best = jnp.max(rscore, axis=1, keepdims=True)  # [R, 1]
+        ll = jax.lax.broadcasted_iota(jnp.int32, rscore.shape, 1)
+        tile_j = jnp.min(
+            jnp.where(rscore == tile_best, ll, big), axis=1, keepdims=True
+        ) + lt * l_tile  # [R, 1]
         take = tile_best > best_val
         best_val = jnp.where(take, tile_best, best_val)
         best_j = jnp.where(take, tile_j, best_j)
 
         # --- col argmax of (2s - rowLSE[p]) over this row tile
-        cscore = two_s - row_lse[:, None]  # [R, l_tile]
-        ctile_best = jnp.max(cscore, axis=0)
-        ctile_p = jnp.argmax(cscore, axis=0).astype(jnp.int32) + pt * r_tile
-        old_val = col_val_ref[0, 0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)]
-        old_p = col_p_ref[0, 0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)]
+        cscore = two_s - row_lse  # [R, l_tile]
+        ctile_best = jnp.max(cscore, axis=0, keepdims=True)  # [1, l_tile]
+        rr = jax.lax.broadcasted_iota(jnp.int32, cscore.shape, 0)
+        ctile_p = jnp.min(
+            jnp.where(cscore == ctile_best, rr, big), axis=0, keepdims=True
+        ) + pt * r_tile  # [1, l_tile]
+        old_val = col_val_ref[0, :, lsl]
+        old_p = col_p_ref[0, :, lsl]
         ctake = ctile_best > old_val
-        col_val_ref[0, 0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)] = jnp.where(
-            ctake, ctile_best, old_val
-        )
-        col_p_ref[0, 0, pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)] = jnp.where(
-            ctake, ctile_p, old_p
-        )
+        col_val_ref[0, :, lsl] = jnp.where(ctake, ctile_best, old_val)
+        col_p_ref[0, :, lsl] = jnp.where(ctake, ctile_p, old_p)
         return best_val, best_j
 
-    bv0 = jnp.full((r,), _NEG, jnp.float32)
-    bj0 = jnp.zeros((r,), jnp.int32)
+    bv0 = jnp.full((r, 1), _NEG, jnp.float32)
+    bj0 = jnp.zeros((r, 1), jnp.int32)
     best_val, best_j = jax.lax.fori_loop(0, n_lt, body, (bv0, bj0))
-    row_val_ref[0, 0, pl.ds(pl.multiple_of(pt * r_tile, r_tile), r_tile)] = best_val
-    row_j_ref[0, 0, pl.ds(pl.multiple_of(pt * r_tile, r_tile), r_tile)] = best_j
+    row_val_ref[0, :, :] = best_val
+    row_j_ref[0, :, :] = best_j
 
 
 # ------------------------------ host wrapper -------------------------------
@@ -246,8 +255,12 @@ def dual_softmax_rowcol_stats(
     f1 = jnp.zeros((b, l_pad, c), jnp.bfloat16).at[:, :l].set(
         feat1.astype(jnp.bfloat16)
     )
-    radd = jnp.full((b, 1, p_pad), -1e9, jnp.float32)
-    radd = radd.at[:, 0, :p].set(
+    # row vectors ride sublane-oriented as [B, P, 1] (tile-sized blocks), col
+    # vectors lane-oriented as [B, 1, L] (full-length blocks, accumulated
+    # across row tiles) — each quantity stays in the orientation its kernel
+    # math produces, so Mosaic never relayouts across the sublane/lane axis
+    radd = jnp.full((b, p_pad, 1), -1e9, jnp.float32)
+    radd = radd.at[:, :p, 0].set(
         row_add if row_add is not None else jnp.zeros((b, p), jnp.float32)
     )
     cadd = jnp.full((b, 1, l_pad), -1e9, jnp.float32)
@@ -263,11 +276,8 @@ def dual_softmax_rowcol_stats(
     col_specs = pl.BlockSpec(
         (1, l_pad, c), lambda bi, pt: (bi, 0, 0), memory_space=pltpu.VMEM
     )
-    # vector operands ride as [B, 1, X] with FULL-length blocks (TPU requires
-    # the last two block dims divisible by (8, 128) or equal to the array
-    # dims); kernels slice their row tile with pl.ds
     rvec = pl.BlockSpec(
-        (1, 1, p_pad), lambda bi, pt: (bi, 0, 0), memory_space=pltpu.VMEM
+        (1, r_tile, 1), lambda bi, pt: (bi, pt, 0), memory_space=pltpu.VMEM
     )
     cvec = pl.BlockSpec(
         (1, 1, l_pad), lambda bi, pt: (bi, 0, 0), memory_space=pltpu.VMEM
@@ -279,7 +289,7 @@ def dual_softmax_rowcol_stats(
         in_specs=[row_specs, col_specs, rvec, cvec],
         out_specs=[rvec, cvec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, p_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, p_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, l_pad), jnp.float32),
         ],
         interpret=interpret,
@@ -291,8 +301,8 @@ def dual_softmax_rowcol_stats(
         in_specs=[row_specs, col_specs, rvec, cvec, rvec, cvec],
         out_specs=[rvec, rvec, cvec, cvec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, p_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, p_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, p_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, p_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, l_pad), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, l_pad), jnp.int32),
         ],
@@ -300,10 +310,10 @@ def dual_softmax_rowcol_stats(
     )(f0, f1, radd, cadd, row_lse, col_lse)
 
     return {
-        "row_lse": row_lse[:, 0, :p],
+        "row_lse": row_lse[:, :p, 0],
         "col_lse": col_lse[:, 0, :l],
-        "row_best_val": row_val[:, 0, :p],
-        "row_best_j": row_j[:, 0, :p],
+        "row_best_val": row_val[:, :p, 0],
+        "row_best_j": row_j[:, :p, 0],
         "col_best_val": col_val[:, 0, :l],
         "col_best_p": col_p[:, 0, :l],
     }

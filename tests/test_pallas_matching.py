@@ -64,6 +64,57 @@ class TestStats:
             np.asarray(best_conf)[m], np.asarray(conf_at)[m], rtol=0.05, atol=1e-3
         )
 
+    def test_multitile_stats_parity(self):
+        # Multi-tile in BOTH grid axes (4 row tiles x 4 col tiles): the
+        # production shapes (P=7000, L=4096 with 512/1024 tiles) run the
+        # cross-tile accumulation paths that single-tile tests never touch.
+        # Round-2 regression: the original 1D lane/sublane-mixed kernels
+        # miscompiled under Mosaic at multi-tile shapes (zero TPU matches)
+        # while passing every single-tile interpret test.
+        rng = np.random.default_rng(7)
+        p, l, c = 256, 512, 64
+        f0 = rng.standard_normal((2, p, c)).astype(np.float32)
+        perm = rng.permutation(p)
+        f1 = 0.1 * rng.standard_normal((2, l, c)).astype(np.float32)
+        f1[:, :p] += f0[:, perm]
+        f0, f1 = jnp.asarray(f0), jnp.asarray(f1)
+        stats = dual_softmax_rowcol_stats(
+            f0, f1, 0.1, r_tile=64, l_tile=128, interpret=True
+        )
+        scale = 1.0 / (c**0.5)
+        sim = jnp.einsum(
+            "npc,nlc->npl",
+            (f0 * scale).astype(jnp.bfloat16),
+            (f1 * scale).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) / (0.1 + 1e-4)
+        row_lse = jax.scipy.special.logsumexp(sim, axis=2)
+        col_lse = jax.scipy.special.logsumexp(sim, axis=1)
+        rscore = 2 * sim - col_lse[:, None, :]
+        cscore = 2 * sim - row_lse[:, :, None]
+        np.testing.assert_allclose(
+            np.asarray(stats["row_lse"]), np.asarray(row_lse), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats["col_lse"]), np.asarray(col_lse), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats["row_best_val"]),
+            np.asarray(jnp.max(rscore, axis=2)),
+            atol=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stats["row_best_j"]), np.asarray(jnp.argmax(rscore, axis=2))
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats["col_best_val"]),
+            np.asarray(jnp.max(cscore, axis=1)),
+            atol=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stats["col_best_p"]), np.asarray(jnp.argmax(cscore, axis=1))
+        )
+
     def test_row_padding_masked(self):
         # P not a multiple of the tile: padded rows must not corrupt col stats
         f0, f1 = make_feats(p=100, l=128, c=32, seed=2)
