@@ -6,7 +6,13 @@ re-point the platform via jax.config before any backend is initialized.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# ONEPOSE_TESTS_TPU=1 leaves the default (TPU) backend in place so the
+# `tpu`-marked compiled-parity tests can run on the real chip:
+#   ONEPOSE_TESTS_TPU=1 python -m pytest tests/test_tpu_compiled.py -q
+_USE_TPU = os.environ.get("ONEPOSE_TESTS_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,4 +22,5 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")

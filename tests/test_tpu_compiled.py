@@ -1,0 +1,115 @@
+"""Mosaic-compiled kernel parity at production shapes (real TPU only).
+
+Interpret-mode parity is NOT TPU parity: the round-2 matching kernels passed
+every interpret test while their Mosaic compilations collapsed match counts
+at multi-tile shapes (1D lane/sublane relayout miscompile). These tests run
+the compiled kernels on the real chip against XLA references at the flagship
+shapes (P=7000 points, L=4096 cells, C=256).
+
+Run with: JAX_PLATFORMS=<tpu backend> python -m pytest tests/test_tpu_compiled.py -m tpu
+(the default CPU-pinned conftest skips them).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        jax.default_backend() != "tpu", reason="needs a real TPU backend"
+    ),
+]
+
+
+def _feats(p, l, c=256, seed=0):
+    rng = np.random.default_rng(seed)
+    f0 = rng.standard_normal((1, p, c)).astype(np.float32)
+    perm = rng.permutation(min(p, l))
+    f1 = 0.1 * rng.standard_normal((1, l, c)).astype(np.float32)
+    f1[0, : len(perm)] += f0[0, perm]
+    return jnp.asarray(f0), jnp.asarray(f1)
+
+
+@pytest.mark.parametrize("p,l", [(2048, 2048), (7000, 4096)])
+def test_stats_parity_compiled(p, l):
+    from onepose_plus_plus_tpu.ops.pallas_matching import dual_softmax_rowcol_stats
+
+    f0, f1 = _feats(p, l)
+    got = jax.jit(lambda a, b: dual_softmax_rowcol_stats(a, b, 0.1))(f0, f1)
+
+    c = f0.shape[-1]
+    s = 1.0 / (c**0.5)
+    sim = jax.lax.dot_general(
+        (f0 * s).astype(jnp.bfloat16),
+        (f1 * s).astype(jnp.bfloat16),
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / (0.1 + 1e-4)
+    row_lse = jax.scipy.special.logsumexp(sim, axis=2)
+    col_lse = jax.scipy.special.logsumexp(sim, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(got["row_lse"]), np.asarray(row_lse), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["col_lse"]), np.asarray(col_lse), atol=2e-3
+    )
+    rscore = 2 * sim - col_lse[:, None, :]
+    # argmax ids must agree except where the two best scores tie within float
+    # noise of each other
+    want_j = np.asarray(jnp.argmax(rscore, axis=2))
+    got_j = np.asarray(got["row_best_j"])
+    dis = got_j != want_j
+    assert dis.mean() < 0.01, f"{dis.sum()} of {dis.size} row argmax mismatches"
+
+
+def test_select_parity_compiled_pair_mode():
+    """The end-to-end regression that caught the round-2 bug: pair-mode
+    matching on TPU returned ZERO matches while XLA returned a full K."""
+    from onepose_plus_plus_tpu.ops.matching import (
+        dual_softmax_confidence,
+        select_topk_matches,
+    )
+    from onepose_plus_plus_tpu.ops.pallas_matching import fused_select_topk_matches
+
+    f0, f1 = _feats(4096, 4096)
+    kw = dict(
+        temperature=0.1, grid_hw=(64, 64), thr=0.2, border_rm=2, k=1428,
+        border_two_sided=True, row_grid_hw=(64, 64),
+    )
+    fused = jax.jit(lambda a, b: fused_select_topk_matches(a, b, **kw))(f0, f1)
+    xla = jax.jit(
+        lambda a, b: select_topk_matches(
+            dual_softmax_confidence(a, b, 0.1), (64, 64), 0.2, 2, 1428,
+            border_two_sided=True, row_grid_hw=(64, 64),
+        )
+    )(f0, f1)
+    fm = np.asarray(fused.mask)[0]
+    xm = np.asarray(xla.mask)[0]
+    fset = set(
+        zip(np.asarray(fused.i_ids)[0][fm].tolist(),
+            np.asarray(fused.j_ids)[0][fm].tolist())
+    )
+    xset = set(
+        zip(np.asarray(xla.i_ids)[0][xm].tolist(),
+            np.asarray(xla.j_ids)[0][xm].tolist())
+    )
+    jacc = len(fset & xset) / max(len(fset | xset), 1)
+    assert jacc > 0.95, f"fused={fm.sum()} xla={xm.sum()} jaccard={jacc:.3f}"
+
+
+def test_gather_parity_compiled():
+    from onepose_plus_plus_tpu.ops.pallas_gather import take_rows_mxu
+
+    rng = np.random.default_rng(1)
+    vals = jnp.asarray(rng.standard_normal((4, 5120, 2048)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(-1, 5120, (4, 2048)), jnp.int32)
+    got = jax.jit(take_rows_mxu)(vals, ids)
+    want = jnp.where(
+        (ids >= 0)[:, :, None],
+        jnp.take_along_axis(vals, jnp.clip(ids, 0)[:, :, None], axis=1),
+        0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.astype(jnp.float32)), np.asarray(want.astype(jnp.float32))
+    )
