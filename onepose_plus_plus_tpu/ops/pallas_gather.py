@@ -52,9 +52,6 @@ def _kernel(ids_ref, src_ref, out_ref, acc_ref, *, tm: int, n_m: int):
         out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("interpret", "tile_k", "tile_m", "tile_g")
-)
 def take_rows_mxu(
     values: jnp.ndarray,
     ids: jnp.ndarray,

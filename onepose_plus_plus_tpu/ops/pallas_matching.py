@@ -208,10 +208,6 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@partial(
-    jax.jit,
-    static_argnames=("temperature", "r_tile", "l_tile", "feat_norm", "interpret"),
-)
 def dual_softmax_rowcol_stats(
     feat0: jnp.ndarray,
     feat1: jnp.ndarray,
