@@ -82,7 +82,9 @@ def _kv_stats_kernel(src_ref, wk_ref, wv_ref, smask_ref, kvx_ref, acc_ref, *,
     row = jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0) + s_idx * ts
     kp = kp * (row < s_actual).astype(jnp.float32)
     if smask_ref is not None:
-        kp = kp * smask_ref[:].reshape(ts, 1)
+        # [TS, 1] sublane-oriented block (1D lane->sublane relayouts
+        # miscompile under Mosaic; see ops/pallas_matching.py)
+        kp = kp * smask_ref[0]
     v = jnp.dot(src, wv_ref[:], preferred_element_type=jnp.float32)
     vext = jnp.concatenate(
         [v, jnp.ones((ts, c), jnp.float32)], axis=1
@@ -116,7 +118,7 @@ def _apply_kernel(x_ref, kvx_ref, wq_ref, wm_ref, w0a_ref, w0b_ref, w1_ref,
     q = jnp.dot(xb, wq_ref[:], preferred_element_type=jnp.float32)
     qp = _elu_p1(q)
     if qmask_ref is not None:
-        qp = qp * qmask_ref[:].reshape(-1, 1)
+        qp = qp * qmask_ref[0]  # [TL, 1] sublane-oriented block
 
     ext = jnp.dot(
         qp.astype(jnp.bfloat16), kvx_ref[0].astype(jnp.bfloat16),
@@ -211,9 +213,9 @@ def fused_encoder_layer(
         sm = source_mask.astype(f32)
         sm = jnp.pad(sm, ((0, 0), (0, s_pad - s))) if s_pad != s else sm
         a_in_specs.append(
-            pl.BlockSpec((1, ts), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, ts, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
         )
-        a_args.append(sm)
+        a_args.append(sm[:, :, None])
         a_kernel = functools.partial(
             _kv_stats_kernel, s_actual=s, ts=ts, nhead=nhead, c=c
         )
@@ -262,9 +264,9 @@ def fused_encoder_layer(
         qm = x_mask.astype(f32)
         qm = jnp.pad(qm, ((0, 0), (0, l_pad - l))) if l_pad != l else qm
         b_in_specs.append(
-            pl.BlockSpec((1, tl), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, tl, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
         )
-        b_args.append(qm)
+        b_args.append(qm[:, :, None])
         b_kernel = functools.partial(_apply_kernel, nhead=nhead, c=c)
     else:
         b_kernel = functools.partial(

@@ -98,6 +98,31 @@ def test_select_parity_compiled_pair_mode():
     assert jacc > 0.95, f"fused={fm.sum()} xla={xm.sum()} jaccard={jacc:.3f}"
 
 
+@pytest.mark.parametrize("with_masks", [False, True])
+def test_encoder_parity_compiled(with_masks):
+    """Fused encoder layer vs the XLA transformer layer at coarse shapes."""
+    import flax.linen as fnn
+    from onepose_plus_plus_tpu.models.transformer import LoFTREncoderLayer
+
+    rng = np.random.default_rng(3)
+    n, l, s, c = 2, 4096, 7000, 256
+    x = jnp.asarray(rng.standard_normal((n, l, c)) * 0.5, jnp.float32)
+    src = jnp.asarray(rng.standard_normal((n, s, c)) * 0.5, jnp.float32)
+    xm = sm = None
+    if with_masks:
+        xm = jnp.asarray(rng.random((n, l)) > 0.1)
+        sm = jnp.asarray(rng.random((n, s)) > 0.1)
+    layer = LoFTREncoderLayer(d_model=c, nhead=8)
+    v = jax.jit(lambda r: layer.init(r, x, src, xm, sm))(jax.random.PRNGKey(0))
+    y_fused = jax.jit(
+        lambda a, b: layer.apply(v, a, b, xm, sm, fused=True)
+    )(x, src)
+    y_xla = jax.jit(lambda a, b: layer.apply(v, a, b, xm, sm, fused=False))(x, src)
+    err = float(jnp.max(jnp.abs(y_fused - y_xla)))
+    scale = float(jnp.max(jnp.abs(y_xla)))
+    assert err < 0.05 * scale, f"fused encoder diverges: maxerr={err} scale={scale}"
+
+
 def test_gather_parity_compiled():
     from onepose_plus_plus_tpu.ops.pallas_gather import take_rows_mxu
 
