@@ -34,6 +34,12 @@ def take_scalars(
 
     Out-of-range ids return 0. Non-TPU backends use take_along_axis (ids
     clamped).
+
+    The matmul MUST run at Precision.HIGHEST: TPU's default matmul precision
+    truncates f32 operands to bf16, which is only exact for integers up to
+    256 — the fused matcher packs ``col_best_p * 2 + keep`` (up to ~2L), and
+    the truncation silently corrupted every mutual-NN lookup on TPU while
+    passing bit-exact on CPU.
     """
     if jax.default_backend() != "tpu" and not _force_mxu:
         return jnp.take_along_axis(
@@ -51,6 +57,7 @@ def take_scalars(
         hi,
         vals.reshape(b, m1, m2),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [B, K, 128]
     lo = jax.nn.one_hot(ids % m2, m2, dtype=jnp.float32)
     out = jnp.sum(rows * lo, axis=-1)
@@ -72,9 +79,13 @@ def take_rows(values: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
             values, jnp.clip(ids, 0, values.shape[1] - 1)[..., None], axis=1
         )
     onehot = jax.nn.one_hot(ids, values.shape[1], dtype=jnp.float32)  # [B,K,L]
+    # Precision.HIGHEST: default TPU matmul precision truncates the f32
+    # values operand to bf16 — gathered 3D point coordinates would lose
+    # 16 mantissa bits on their way into PnP.
     return jnp.einsum(
         "bkl,blc->bkc",
         onehot,
         values.astype(jnp.float32),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(values.dtype)

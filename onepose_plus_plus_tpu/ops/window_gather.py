@@ -113,11 +113,15 @@ def gather_windows_aligned(
         blk_all = take_rows_mxu(s2d, flat_all, tile_m=rows_per_tile * wp)
     else:
         onehot = jax.nn.one_hot(flat_all, hp * wp, dtype=dt)
+        # HIGHEST so the f32 path stays a bit-exact copy on TPU (default
+        # matmul precision would truncate f32 features to bf16); no-op for
+        # the bf16 path.
         blk_all = jax.lax.dot_general(
             onehot,
             s2d.astype(dt),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     blk_all = blk_all.reshape(n, nb * nb, k, stride, stride, c)
 

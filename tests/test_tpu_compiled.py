@@ -123,6 +123,26 @@ def test_encoder_parity_compiled(with_masks):
     assert err < 0.05 * scale, f"fused encoder diverges: maxerr={err} scale={scale}"
 
 
+def test_take_scalars_exact_large_ints():
+    """TPU default matmul precision truncates f32 operands to bf16 (exact
+    only for ints <= 256). take_scalars carries packed ids up to ~2L — it
+    must force f32 precision or every mutual-NN lookup corrupts silently."""
+    from onepose_plus_plus_tpu.ops.take import take_scalars, take_rows
+
+    rng = np.random.default_rng(7)
+    vals = jnp.asarray(rng.integers(0, 2**20, (2, 7000)), jnp.int32)
+    ids = jnp.asarray(rng.integers(0, 7000, (2, 4096)), jnp.int32)
+    got = np.asarray(jax.jit(take_scalars)(vals, ids))
+    want = np.asarray(vals)[np.arange(2)[:, None], np.asarray(ids)]
+    np.testing.assert_array_equal(got, want)
+
+    fvals = jnp.asarray(rng.standard_normal((2, 7000, 3)), jnp.float32)
+    rids = jnp.asarray(rng.integers(0, 7000, (2, 1428)), jnp.int32)
+    rgot = np.asarray(jax.jit(take_rows)(fvals, rids))
+    rwant = np.asarray(fvals)[np.arange(2)[:, None], np.asarray(rids)]
+    np.testing.assert_array_equal(rgot, rwant)
+
+
 def test_gather_parity_compiled():
     from onepose_plus_plus_tpu.ops.pallas_gather import take_rows_mxu
 
