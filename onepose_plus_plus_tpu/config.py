@@ -16,6 +16,12 @@ class ResNetFPNConfig:
     initial_dim: int = 128
     block_dims: Tuple[int, ...] = (128, 196, 256)
     block_type: str = "basic"  # 'basic' | 'bottleneck'
+    # opt-in int8 inference path: dynamic per-tensor activation scales +
+    # per-output-channel weight scales, s8 x s8 -> s32 convs. Inference-only —
+    # the train path ignores it. Measured neutral on v5e at 48x512^2 (82.3 ms
+    # vs 83.6 ms bf16: XLA does not hit the 2x int8 MXU path for these convs),
+    # so it stays off by default; useful on backends with real s8 conv support.
+    quant_int8: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,7 @@ def onepose_config_from_dict(d: Optional[Dict[str, Any]] = None) -> OnePosePlusC
         backbone=ResNetFPNConfig(
             initial_dim=bb.get("initial_dim", 128),
             block_dims=tuple(bb.get("block_dims", (128, 196, 256))),
+            quant_int8=bb.get("quant_int8", False),
         ),
         resolution=resolution,
         pe_temp_bug_fix=co.get("temp_bug_fix", False),
@@ -86,6 +87,9 @@ def loftr_config_from_dict(d: Optional[Dict[str, Any]] = None) -> LoFTRConfig:
     cm = d.get("match_coarse", {})
     return LoFTRConfig(
         compute_dtype=d.get("compute_dtype", "float32"),
+        backbone=ResNetFPNConfig(
+            quant_int8=d.get("backbone", {}).get("quant_int8", False)
+        ),
         coarse=TransformerConfig(
             d_model=d.get("d_model", 256),
             nhead=d.get("nhead", 8),

@@ -109,10 +109,15 @@ def main():
             print(f"step: {t*1e3:.1f} ms ({BATCH/t:.1f} poses/s)")
         return
 
-    if NAME == "backbone":
+    if NAME in ("backbone", "backbone_q"):
+        import dataclasses as dc
+
         from onepose_plus_plus_tpu.models.backbone import ResNetFPN_8_2
 
-        bb = ResNetFPN_8_2(cfg.backbone, dtype=jnp.bfloat16)
+        bcfg = cfg.backbone
+        if NAME == "backbone_q":
+            bcfg = dc.replace(bcfg, quant_int8=True)
+        bb = ResNetFPN_8_2(bcfg, dtype=jnp.bfloat16)
         img = jnp.asarray(rng.random((BATCH, IMG, IMG, 1), np.float32))
         v = jax.jit(lambda r, x: bb.init(r, x, train=False))(jax.random.PRNGKey(0), img)
 
@@ -120,7 +125,7 @@ def main():
         def f(x, k):
             return bb.apply(v, x + k * 1e-9, train=False)[0]
 
-        print(f"backbone: {bench(f, img)*1e3:.1f} ms")
+        print(f"{NAME}: {bench(f, img)*1e3:.1f} ms")
         return
 
     if NAME == "coarse":

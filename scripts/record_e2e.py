@@ -14,6 +14,12 @@ regression bands in tests/test_cli_end_to_end.py (VERDICT round-1 item #5:
 "run one real end-to-end sequence and record it").
 
 Usage: python scripts/record_e2e.py [--frames 12] [--img 256]
+
+With --tpu the chain runs on the real chip in production config (bf16,
+shape3d=7000, 24 frames / 512^2 by default) and snapshots into
+artifacts/e2e_tpu/ instead — the on-hardware evidence that the fused
+Mosaic kernels drive the full pipeline correctly (they once returned an
+empty model while passing every interpret-mode test; see BASELINE.md).
 """
 import argparse
 import json
@@ -28,16 +34,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
-def run_cli(script, args):
+def run_cli(script, args, tpu=False):
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    # keep the axon TPU plugin out of CPU subprocesses entirely: the
-    # sitecustomize register() dials the TPU relay at interpreter start
-    # and can deadlock the child before main() runs
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    )
+    if not tpu:
+        env["JAX_PLATFORMS"] = "cpu"
+        # keep the axon TPU plugin out of CPU subprocesses entirely: the
+        # sitecustomize register() dials the TPU relay at interpreter start
+        # and can deadlock the child before main() runs
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        )
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     print(f"== {script} {' '.join(args)}", flush=True)
@@ -54,10 +61,18 @@ def run_cli(script, args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=12)
-    ap.add_argument("--img", type=int, default=256)
-    ap.add_argument("--workdir", default="/tmp/e2e_record")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--img", type=int, default=None)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the real chip in production config (bf16)")
     args = ap.parse_args()
+    if args.frames is None:
+        args.frames = 24 if args.tpu else 12
+    if args.img is None:
+        args.img = 512 if args.tpu else 256
+    if args.workdir is None:
+        args.workdir = "/tmp/e2e_record_tpu" if args.tpu else "/tmp/e2e_record"
 
     import cv2
     from synthetic_scenes import make_scene
@@ -75,10 +90,18 @@ def main():
     seq_dir = os.path.join(data_dir, obj, seq)
     for sub in ("color", "intrin_ba", "poses_ba"):
         os.makedirs(os.path.join(seq_dir, sub), exist_ok=True)
-    # dense block texture: 1/8-scale coarse cells must be feature-rich
-    tex = (np.kron(rng.random((64, 64)), np.ones((8, 8))) * 255).astype(np.uint8)
+    # dense block texture: 1/8-scale coarse cells must be feature-rich;
+    # block size scales with the render resolution (2*img texture overall)
+    blk = max(args.img // 32, 4)
+    tex = (np.kron(rng.random((64, 64)), np.ones((blk, blk))) * 255).astype(
+        np.uint8
+    )
     S = np.array(
-        [[512 / 0.8, 0, 256], [0, 512 / 0.8, 256], [0, 0, 1.0]]
+        [
+            [2 * args.img / 0.8, 0, args.img],
+            [0, 2 * args.img / 0.8, args.img],
+            [0, 0, 1.0],
+        ]
     )
     for i in range(args.frames):
         R, t = Ts[i][:3, :3], Ts[i][:3, 3]
@@ -93,6 +116,9 @@ def main():
     )
     np.savetxt(os.path.join(data_dir, obj, "box3d_corners.txt"), corners)
 
+    # CPU mode shrinks shapes so the chain fits a test budget; TPU mode runs
+    # the production config (bf16 compute, shape3d=7000 point capacity)
+    dtype_ov = [] if args.tpu else ["model.compute_dtype=float32"]
     run_cli(
         "run.py",
         [
@@ -101,12 +127,13 @@ def main():
             f"dataset.data_dir={data_dir}",
             f"dataset.outputs_dir={sfm_dir}",
             "dataset.down_ratio=1",
-            "sfm.pair_batch=4",
-            "sfm.covis_num=8",
+            f"sfm.pair_batch={8 if args.tpu else 4}",
+            f"sfm.covis_num={10 if args.tpu else 8}",
             "sfm.max_epipolar_error_px=8.0",
             "model.match_coarse.thr=0.000001",
-            "model.compute_dtype=float32",
-        ],
+        ]
+        + dtype_ov,
+        tpu=args.tpu,
     )
     run_cli(
         "inference.py",
@@ -116,12 +143,13 @@ def main():
             f"dataset.data_dir={data_dir}",
             f"dataset.sfm_outputs_dir={sfm_dir}",
             f"dataset.img_resize={args.img}",
-            "dataset.shape3d=512",
-            "inference.frame_batch=4",
-            "inference.num_hypotheses=128",
-            "model.compute_dtype=float32",
+            f"inference.frame_batch={8 if args.tpu else 4}",
+            "model.match_coarse.thr=0.000001",
             f"output_dir={out_dir}",
-        ],
+        ]
+        + ([] if args.tpu else ["dataset.shape3d=512", "inference.num_hypotheses=128"])
+        + dtype_ov,
+        tpu=args.tpu,
     )
     video_out = os.path.join(args.workdir, "demo.mp4")
     run_cli(
@@ -131,11 +159,13 @@ def main():
             f"dataset.data_dir={data_dir}",
             f"dataset.sfm_outputs_dir={sfm_dir}",
             f"dataset.img_resize={args.img}",
-            "dataset.shape3d=512",
-            "demo.num_ref_views=4",
-            "model.compute_dtype=float32",
+            f"demo.num_ref_views={8 if args.tpu else 4}",
+            "model.match_coarse.thr=0.000001",
             f"demo.output_video={video_out}",
-        ],
+        ]
+        + ([] if args.tpu else ["dataset.shape3d=512"])
+        + dtype_ov,
+        tpu=args.tpu,
     )
     run_cli(
         "merge.py",
@@ -145,9 +175,10 @@ def main():
             f"dataset.out_train_file={os.path.join(args.workdir, 'train_anno.json')}",
             "dataset.out_val_file=null",
         ],
+        tpu=args.tpu,
     )
 
-    art = os.path.join(REPO, "artifacts", "e2e")
+    art = os.path.join(REPO, "artifacts", "e2e_tpu" if args.tpu else "e2e")
     os.makedirs(art, exist_ok=True)
     stats = json.load(open(os.path.join(sfm_dir, obj, "stats.json")))
     shutil.copy(os.path.join(sfm_dir, obj, "stats.json"), os.path.join(art, "stats.json"))
@@ -156,6 +187,9 @@ def main():
     if os.path.exists(po):
         shutil.copy(po, os.path.join(art, "post_optimize.json"))
     meta = {
+        "hardware": "TPU v5e (1 chip, axon tunnel), bf16 compute"
+        if args.tpu
+        else "CPU (8 virtual devices), f32",
         "scene": {"frames": args.frames, "img": args.img, "texture_blocks": 64,
                   "weights": "random-init (no released checkpoint in this environment)"},
         "commands": ["run.py", "inference.py", "demo.py", "merge.py"],
