@@ -22,16 +22,34 @@ NAME = sys.argv[1] if len(sys.argv) > 1 else "forward"
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 48
 IMG, N_POINTS = 512, 7000
 ITERS = 10
+SCAN = 4  # device iterations per dispatch: amortizes the ~32 ms tunnel RTT
+          # (and removes the ambiguity of whether RTT overlaps device compute)
 
 
 def bench(fn, *args):
-    out = fn(*args, jnp.float32(0))
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+    """Per-iteration device time of ``fn(*args, k_scalar)``.
+
+    Each dispatch runs SCAN independent iterations under ``lax.scan`` (every
+    iteration gets a distinct k, defeating tunnel result caching) and reads
+    back one scalar checksum; ITERS dispatches are issued pipelined then
+    drained.
+    """
+
+    @jax.jit
+    def chunk(k0, *a):
+        def body(carry, i):
+            out = fn(*a, k0 + i.astype(jnp.float32))
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return carry + jnp.sum(leaf.astype(jnp.float32)), 0
+        tot, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(SCAN))
+        return tot
+
+    float(chunk(jnp.float32(0), *args))
     t0 = time.perf_counter()
-    outs = [fn(*args, jnp.float32(k + 1)) for k in range(ITERS)]
+    outs = [chunk(jnp.float32((k + 1) * SCAN), *args) for k in range(ITERS)]
     for o in outs:
-        float(jnp.sum(jax.tree_util.tree_leaves(o)[0].astype(jnp.float32)))
-    return (time.perf_counter() - t0) / ITERS
+        float(o)
+    return (time.perf_counter() - t0) / (ITERS * SCAN)
 
 
 def main():
@@ -51,11 +69,21 @@ def main():
         print(f"nop: {bench(nop, img)*1e3:.1f} ms")
         return
 
-    if NAME in ("forward", "step", "fwd_nofine", "fwd_noctx"):
+    if NAME in ("forward", "step", "fwd_nofine", "fwd_noctx", "fwd_finelite"):
         import dataclasses as dc
 
         if NAME == "fwd_nofine":
             cfg = dc.replace(cfg, fine=dc.replace(cfg.fine, enable=False))
+            model = OnePosePlusModel(cfg)
+        elif NAME == "fwd_finelite":
+            # fine FPN branch + gather + heatmap, but no fine transformer
+            cfg = dc.replace(
+                cfg,
+                fine=dc.replace(
+                    cfg.fine,
+                    transformer=dc.replace(cfg.fine.transformer, layer_iter_n=0),
+                ),
+            )
             model = OnePosePlusModel(cfg)
         elif NAME == "fwd_noctx":
             cfg = dc.replace(
@@ -109,7 +137,7 @@ def main():
             print(f"step: {t*1e3:.1f} ms ({BATCH/t:.1f} poses/s)")
         return
 
-    if NAME in ("backbone", "backbone_q"):
+    if NAME in ("backbone", "backbone_q", "bbfull"):
         import dataclasses as dc
 
         from onepose_plus_plus_tpu.models.backbone import ResNetFPN_8_2
@@ -121,11 +149,162 @@ def main():
         img = jnp.asarray(rng.random((BATCH, IMG, IMG, 1), np.float32))
         v = jax.jit(lambda r, x: bb.init(r, x, train=False))(jax.random.PRNGKey(0), img)
 
-        @jax.jit
-        def f(x, k):
-            return bb.apply(v, x + k * 1e-9, train=False)[0]
+        if NAME == "bbfull":
+            # sum BOTH outputs so XLA cannot dead-code-eliminate the FPN
+            # fine branch (the coarse-only profiles do exactly that)
+            @jax.jit
+            def f(x, k):
+                c_map, f_map = bb.apply(v, x + k * 1e-9, train=False)
+                return jnp.sum(c_map.astype(jnp.float32)) + jnp.sum(
+                    f_map.astype(jnp.float32)
+                )
+        else:
+
+            @jax.jit
+            def f(x, k):
+                return bb.apply(v, x + k * 1e-9, train=False)[0]
 
         print(f"{NAME}: {bench(f, img)*1e3:.1f} ms")
+        return
+
+    if NAME.startswith("finestage"):
+        # the model's exact fine block at production shapes:
+        #   finestage       — gather + desc take_rows + transformer + heatmap
+        #   finestage_notr  — transformer skipped (glue only)
+        import dataclasses as dc
+
+        from onepose_plus_plus_tpu.models.transformer import LocalFeatureTransformer
+        from onepose_plus_plus_tpu.ops.window_gather import gather_windows_aligned
+        from onepose_plus_plus_tpu.ops.take import take_rows
+        from onepose_plus_plus_tpu.ops.soft_argmax import (
+            heatmap_std,
+            spatial_expectation_2d,
+        )
+
+        ft = LocalFeatureTransformer(
+            dc.replace(cfg.fine.transformer, compute_dtype="bfloat16")
+        )
+        K, W = 512, 5
+        feat_f = jnp.asarray(
+            rng.standard_normal((BATCH, 256, 256, 128)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        j_ids = jnp.asarray(rng.integers(0, 64 * 64, (BATCH, K)).astype(np.int32))
+        i_ids = jnp.asarray(rng.integers(0, N_POINTS, (BATCH, K)).astype(np.int32))
+        desc3d = jnp.asarray(
+            rng.standard_normal((BATCH, N_POINTS, 128)).astype(np.float32)
+        )
+        d0i = jnp.zeros((BATCH * K, 1, 128), jnp.bfloat16)
+        d1i = jnp.zeros((BATCH * K, W * W, 128), jnp.bfloat16)
+        v = jax.jit(lambda r: ft.init(r, d0i, d1i))(jax.random.PRNGKey(0))
+        run_tr = NAME == "finestage"
+
+        @jax.jit
+        def f(fm, ji, ii, dd, k):
+            fm = (fm + (k * 1e-9).astype(fm.dtype)).astype(fm.dtype)
+            windows = gather_windows_aligned(fm, ji, (64, 64), 4, W)
+            desc_sel = take_rows(dd, ii)
+            d0 = desc_sel.astype(windows.dtype).reshape(BATCH * K, 1, 128)
+            d1 = windows.reshape(BATCH * K, W * W, 128)
+            if run_tr:
+                d0, d1 = ft.apply(v, d0, d1)
+            center = d0[:, 0, :]
+            sim = jnp.einsum("mc,mrc->mr", center, d1) / (128**0.5)
+            heat = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+            coords = spatial_expectation_2d(heat, W)
+            std = heatmap_std(heat, coords, W)
+            return coords, std
+
+        print(f"{NAME}: {bench(f, feat_f, j_ids, i_ids, desc3d)*1e3:.1f} ms")
+        return
+
+    if NAME in ("fineenc_xla", "fineenc_fused"):
+        import dataclasses as dc
+
+        from onepose_plus_plus_tpu.models.transformer import LocalFeatureTransformer
+
+        ft = LocalFeatureTransformer(
+            dc.replace(
+                cfg.fine.transformer,
+                compute_dtype="bfloat16",
+                fused_encoder=NAME == "fineenc_fused",
+            )
+        )
+        mtot = BATCH * 512
+        d0 = jnp.asarray(
+            rng.standard_normal((mtot, 1, 128)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        d1 = jnp.asarray(
+            rng.standard_normal((mtot, 25, 128)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        v = jax.jit(lambda r: ft.init(r, d0, d1))(jax.random.PRNGKey(0))
+
+        @jax.jit
+        def f(a, b, k):
+            x0, x1 = ft.apply(v, (a + (k * 1e-9).astype(a.dtype)), b)
+            return x1
+
+        print(f"{NAME}: {bench(f, d0, d1)*1e3:.1f} ms")
+        return
+
+    if NAME == "fpnops":
+        # standalone timings of the FPN fine-branch ops (random weights,
+        # production shapes) — locates the inefficiency inside the 59 ms
+        # fine branch
+        from jax import lax
+
+        from onepose_plus_plus_tpu.ops.upsample import upsample2x_align_corners
+
+        bf = jnp.bfloat16
+        x1 = jnp.asarray(rng.standard_normal((BATCH, 256, 256, 128)), bf)
+        x2o = jnp.asarray(rng.standard_normal((BATCH, 128, 128, 196)), bf)
+        w11 = jnp.asarray(rng.standard_normal((1, 1, 128, 196)) * 0.05, bf)
+        w33a = jnp.asarray(rng.standard_normal((3, 3, 196, 196)) * 0.02, bf)
+        w33b = jnp.asarray(rng.standard_normal((3, 3, 196, 128)) * 0.02, bf)
+
+        def conv(x, w):
+            return lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=lax.conv_dimension_numbers(
+                    x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+                ),
+            )
+
+        @jax.jit
+        def up(x, k):
+            return upsample2x_align_corners((x + (k * 1e-9).astype(bf)).astype(bf))
+
+        @jax.jit
+        def c11(x, k):
+            return conv((x + (k * 1e-9).astype(bf)).astype(bf), w11)
+
+        @jax.jit
+        def c33a(x, k):
+            return conv((x + (k * 1e-9).astype(bf)).astype(bf), w33a)
+
+        @jax.jit
+        def c33b(x, k):
+            return conv((x + (k * 1e-9).astype(bf)).astype(bf), w33b)
+
+        x1o = jnp.asarray(rng.standard_normal((BATCH, 256, 256, 196)), bf)
+        print(f"upsample 128->256 @196ch: {bench(up, x2o)*1e3:.1f} ms")
+        print(f"conv1x1 128->196 @256^2: {bench(c11, x1)*1e3:.1f} ms")
+        print(f"conv3x3 196->196 @256^2: {bench(c33a, x1o)*1e3:.1f} ms")
+        print(f"conv3x3 196->128 @256^2: {bench(c33b, x1o)*1e3:.1f} ms")
+        return
+
+    if NAME == "gather":
+        from onepose_plus_plus_tpu.ops.window_gather import gather_windows_aligned
+
+        fm = jnp.asarray(
+            rng.standard_normal((BATCH, IMG // 2, IMG // 2, 128)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        ids = jnp.asarray(rng.integers(0, 64 * 64, (BATCH, 512)).astype(np.int32))
+
+        @jax.jit
+        def f(m, i, k):
+            return gather_windows_aligned(m + k * 1e-9, i, (64, 64), 4, 5)
+
+        print(f"gather: {bench(f, fm, ids)*1e3:.1f} ms")
         return
 
     if NAME == "coarse":
