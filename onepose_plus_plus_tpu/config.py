@@ -66,6 +66,11 @@ class FineConfig:
     transformer: TransformerConfig = TransformerConfig(
         d_model=128, nhead=8, layer_iter_n=1
     )
+    # sparse fine FPN: run the 1/2-level FPN convs only on per-match halo
+    # patches (backbone.fine_windows) instead of the whole map + window
+    # gather. Exact same outputs; inference-only (training always uses the
+    # dense differentiable path). None = auto (off pending v5e measurement).
+    sparse_fpn: "bool | None" = None
 
 
 @dataclasses.dataclass(frozen=True)

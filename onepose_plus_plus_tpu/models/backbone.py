@@ -22,55 +22,98 @@ from ..ops.upsample import upsample2x_align_corners
 _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
-class _QuantConv(nn.Module):
+def _quant_conv(x, w, stride: int, pad: int, out_dtype) -> jnp.ndarray:
     """Dynamically-quantized int8 conv (inference only).
 
+    Weights are quantized per-output-channel and the activations per-tensor
+    (dynamic max), and the conv runs s8 x s8 -> s32 on the MXU — 2x the bf16
+    peak on v5e. Quantization error is bounded by the per-tensor activation
+    step (|x|_max/127); the backbone's BN layers renormalize between convs so
+    the error does not compound multiplicatively.
+    """
+    sw = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0  # [cout]
+    sw = jnp.maximum(sw, 1e-12)
+    wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+    sx = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / sx), -127, 127
+    ).astype(jnp.int8)
+    dn = lax.conv_dimension_numbers(xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
+    if jax.default_backend() != "tpu":
+        # CPU XLA has no s8 conv fast path and f32 accumulation of the
+        # integer products can exceed 2^24; accumulate in int32
+        xq, wq = xq.astype(jnp.int32), wq.astype(jnp.int32)
+    y = lax.conv_general_dilated(
+        xq,
+        wq,
+        (stride, stride),
+        [(pad, pad)] * 2,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    scale = (sx * sw).astype(jnp.float32)
+    return (y.astype(jnp.float32) * scale).astype(out_dtype)
+
+
+class _QuantConv(nn.Module):
+    """Int8-quantized conv module (see ``_quant_conv``).
+
     Same single ``kernel`` parameter (f32, HWIO) as the ``nn.Conv`` it
-    replaces, so checkpoints load identically. At apply time the weights are
-    quantized per-output-channel and the activations per-tensor (dynamic
-    max), and the conv runs s8 x s8 -> s32 on the MXU — 2x the bf16 peak on
-    v5e. Quantization error is bounded by the per-tensor activation step
-    (|x|_max/127); the backbone's BN layers renormalize between convs so the
-    error does not compound multiplicatively.
+    replaces, so checkpoints load identically.
     """
 
     features: int
     kernel: int
     stride: int = 1
     out_dtype: object = jnp.bfloat16
+    pad: int | None = None
 
     @nn.compact
     def __call__(self, x):
         kh = kw = self.kernel
-        cin = x.shape[-1]
         w = self.param(
-            "kernel", _KAIMING, (kh, kw, cin, self.features), jnp.float32
+            "kernel", _KAIMING, (kh, kw, x.shape[-1], self.features), jnp.float32
         )
-        sw = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0  # [cout]
-        sw = jnp.maximum(sw, 1e-12)
-        wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
-        sx = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
-        sx = jnp.maximum(sx, 1e-12)
-        xq = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / sx), -127, 127
-        ).astype(jnp.int8)
-        dn = lax.conv_dimension_numbers(
-            xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC")
+        pad = kh // 2 if self.pad is None else self.pad
+        return _quant_conv(x, w, self.stride, pad, self.out_dtype)
+
+
+class _ConvQ(nn.Module):
+    """Conv with a call-time ``train`` flag and optional int8 dynamic quant.
+
+    Single ``kernel`` parameter (f32 HWIO) — the exact param tree of the
+    ``nn.Conv``/``_QuantConv`` pair it replaces, so checkpoints are
+    unaffected. Setup-defined at the FPN level of ``ResNetFPN_8_2`` so the
+    same conv instances can run both on dense maps and on gathered patches
+    (the sparse fine path).
+    """
+
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: object = jnp.float32
+    quant: bool = False
+    pad: int | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kh = kw = self.kernel
+        w = self.param(
+            "kernel", _KAIMING, (kh, kw, x.shape[-1], self.features), jnp.float32
         )
-        if jax.default_backend() != "tpu":
-            # CPU XLA has no s8 conv fast path and f32 accumulation of the
-            # integer products can exceed 2^24; accumulate in int32
-            xq, wq = xq.astype(jnp.int32), wq.astype(jnp.int32)
-        y = lax.conv_general_dilated(
-            xq,
-            wq,
+        pad = kh // 2 if self.pad is None else self.pad
+        if self.quant and not train:
+            return _quant_conv(x, w, self.stride, pad, self.dtype)
+        dt = self.dtype
+        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(
+            x.astype(dt),
+            w.astype(dt),
             (self.stride, self.stride),
-            [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+            [(pad, pad)] * 2,
             dimension_numbers=dn,
-            preferred_element_type=jnp.int32,
         )
-        scale = (sx * sw).astype(jnp.float32)
-        return (y.astype(jnp.float32) * scale).astype(self.out_dtype)
 
 
 def _conv(
@@ -80,16 +123,17 @@ def _conv(
     name: str | None = None,
     dtype=jnp.float32,
     quant: bool = False,
+    pad: int | None = None,
 ):
     if quant:
         return _QuantConv(
-            features, kernel, stride, out_dtype=dtype, name=name
+            features, kernel, stride, out_dtype=dtype, pad=pad, name=name
         )
     return nn.Conv(
         features,
         (kernel, kernel),
         strides=(stride, stride),
-        padding=[(kernel // 2, kernel // 2)] * 2,
+        padding=[(kernel // 2 if pad is None else pad,) * 2] * 2,
         use_bias=False,
         kernel_init=_KAIMING,
         name=name,
@@ -162,7 +206,15 @@ _BLOCKS = {"basic": BasicBlock, "bottleneck": BottleneckBlock}
 
 
 class _OutConv2(nn.Module):
-    """FPN lateral refinement: conv3x3 -> BN -> LeakyReLU -> conv3x3."""
+    """FPN lateral refinement: conv3x3 -> BN -> LeakyReLU -> conv3x3.
+
+    The convs are built VALID with explicit zero pads when ``pad=True`` (XLA
+    folds a zero pad into the conv, so the dense path is unchanged — verified
+    bit-identical by the backbone parity tests). ``pad=False`` runs the pair
+    as valid convs over gathered halo patches (the sparse fine path);
+    ``mid_mask`` then re-imposes the dense path's map-border zeros between
+    the two convs (positions the dense conv2 reads as SAME-padding zeros).
+    """
 
     mid: int
     out: int
@@ -170,14 +222,26 @@ class _OutConv2(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        pad: bool = True,
+        mid_mask: jnp.ndarray | None = None,
+    ):
         q = self.quant and not train
-        x = _conv(self.mid, 3, name="conv1", dtype=self.dtype, quant=q)(x)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        x = _conv(self.mid, 3, name="conv1", dtype=self.dtype, quant=q, pad=0)(x)
         x = _BN(name="bn", dtype=self.dtype)(x, train)
         x = nn.leaky_relu(x, negative_slope=0.01)
+        if mid_mask is not None:
+            x = x * mid_mask.astype(x.dtype)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         # conv2 writes the output descriptors directly (no BN behind it to
         # absorb quantization error) — always bf16/f32
-        return _conv(self.out, 3, name="conv2", dtype=self.dtype)(x)
+        return _conv(self.out, 3, name="conv2", dtype=self.dtype, pad=0)(x)
 
 
 class ResNetFPN_8_2(nn.Module):
@@ -185,52 +249,154 @@ class ResNetFPN_8_2(nn.Module):
 
     Input [N, H, W, 1] grayscale; returns (coarse [N, H/8, W/8, block_dims[2]],
     fine [N, H/2, W/2, block_dims[0]]).
+
+    Setup-structured (unlike the other backbones) so the fine FPN stage can
+    run in two modes over shared params: densely over the whole map
+    (``__call__``), or only on per-match halo patches
+    (``coarse_and_ctx`` + ``fine_windows`` — the sparse fine path, which
+    skips ~2/3 of the fine-branch conv FLOPs when only K windows of the
+    1/2-resolution map are consumed downstream).
     """
 
     cfg: ResNetFPNConfig = ResNetFPNConfig()
     dtype: object = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def setup(self):
         block = _BLOCKS[self.cfg.block_type]
         d0, d1, d2 = self.cfg.block_dims
         dt = self.dtype
-        q = self.cfg.quant_int8 and not train
-        x = x.astype(dt)
-
-        x0 = _conv(self.cfg.initial_dim, 7, 2, name="conv1", dtype=dt, quant=q)(x)
-        x0 = nn.relu(_BN(name="bn1", dtype=dt)(x0, train))  # 1/2
-
-        def layer(planes, stride, name, h):
-            h = block(planes, stride, name=f"{name}_0", dtype=dt, quant=q)(h, train)
-            return block(planes, 1, name=f"{name}_1", dtype=dt, quant=q)(h, train)
-
-        x1 = layer(d0, 1, "layer1", x0)  # 1/2
-        x2 = layer(d1, 2, "layer2", x1)  # 1/4
-        x3 = layer(d2, 2, "layer3", x2)  # 1/8
-
+        q = self.cfg.quant_int8
+        self.conv1 = _ConvQ(
+            self.cfg.initial_dim, 7, 2, dtype=dt, quant=q, name="conv1"
+        )
+        self.bn1 = _BN(dtype=dt, name="bn1")
+        self.layer1_0 = block(d0, 1, dtype=dt, quant=q, name="layer1_0")
+        self.layer1_1 = block(d0, 1, dtype=dt, quant=q, name="layer1_1")
+        self.layer2_0 = block(d1, 2, dtype=dt, quant=q, name="layer2_0")
+        self.layer2_1 = block(d1, 1, dtype=dt, quant=q, name="layer2_1")
+        self.layer3_0 = block(d2, 2, dtype=dt, quant=q, name="layer3_0")
+        self.layer3_1 = block(d2, 1, dtype=dt, quant=q, name="layer3_1")
         # FPN top-down (the descriptor-producing convs — layer3_outconv and
         # each _OutConv2's conv2 — always stay in the compute dtype)
-        x3_out = _conv(d2, 1, name="layer3_outconv", dtype=dt)(x3)
+        self.layer3_outconv = _ConvQ(d2, 1, dtype=dt, name="layer3_outconv")
+        self.layer2_outconv = _ConvQ(d2, 1, dtype=dt, quant=q, name="layer2_outconv")
+        self.layer2_outconv2 = _OutConv2(
+            d2, d1, dtype=dt, quant=q, name="layer2_outconv2"
+        )
+        self.layer1_outconv = _ConvQ(d1, 1, dtype=dt, quant=q, name="layer1_outconv")
+        self.layer1_outconv2 = _OutConv2(
+            d1, d0, dtype=dt, quant=q, name="layer1_outconv2"
+        )
 
+    def _trunk_and_mid(self, x, train: bool):
+        """Stem + residual trunk + FPN down to the 1/4 level."""
+        x = x.astype(self.dtype)
+        x0 = nn.relu(self.bn1(self.conv1(x, train), train))  # 1/2
+        x1 = self.layer1_1(self.layer1_0(x0, train), train)  # 1/2
+        x2 = self.layer2_1(self.layer2_0(x1, train), train)  # 1/4
+        x3 = self.layer3_1(self.layer3_0(x2, train), train)  # 1/8
+
+        x3_out = self.layer3_outconv(x3, train)
         x3_up = upsample2x_align_corners(x3_out)
-        x2_out = _conv(d2, 1, name="layer2_outconv", dtype=dt, quant=q)(x2)
-        x2_out = _OutConv2(d2, d1, name="layer2_outconv2", dtype=dt, quant=q)(
-            x2_out + x3_up, train
+        x2_out = self.layer2_outconv2(
+            self.layer2_outconv(x2, train) + x3_up, train
         )
+        return x1, x2_out, x3_out
 
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x1, x2_out, x3_out = self._trunk_and_mid(x, train)
         x2_up = upsample2x_align_corners(x2_out)
-        x1_out = _conv(d1, 1, name="layer1_outconv", dtype=dt, quant=q)(x1)
-        x1_out = _OutConv2(d1, d0, name="layer1_outconv2", dtype=dt, quant=q)(
-            x1_out + x2_up, train
+        x1_out = self.layer1_outconv2(
+            self.layer1_outconv(x1, train) + x2_up, train
         )
-
         # Outputs stay in the compute dtype: upcasting the 1/2-resolution fine
         # map to f32 here cost ~15 ms/step at batch 48 on v5e (full-map
         # convert + layout copy) and doubled the fine window-gather traffic.
         # Downstream consumers that need f32 (matching softmax, LayerNorms)
         # upcast their own tiles.
         return x3_out, x1_out
+
+    def coarse_and_ctx(self, x, train: bool = False):
+        """Coarse map + the context the sparse fine path needs later.
+
+        Returns (coarse [N, H/8, W/8, d2], ctx) where ctx carries the 1/2
+        trunk feature and the 1/4 FPN output; feed ctx to :meth:`fine_windows`
+        once the matched coarse cells are known.
+        """
+        x1, x2_out, _x3_out = self._trunk_and_mid(x, train)
+        return _x3_out, (x1, x2_out)
+
+    def fine_windows(
+        self,
+        ctx,
+        cell_ids: jnp.ndarray,
+        grid_hw: Tuple[int, int],
+        stride: int,
+        window: int,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """Sparse fine stage: FPN 1/2-level convs only on per-match patches.
+
+        Exactly equivalent (modulo conv reassociation noise) to
+        ``gather_windows_aligned(self(x)[1], cell_ids, grid_hw, stride,
+        window)`` — the dense 1/2-level stage costs ~2/3 of the fine-branch
+        FLOPs to produce h_f*w_f outputs of which only K*window^2 are read.
+        Inference-only (the DMA gather has no VJP; training uses the dense
+        path).
+
+        Args:
+            ctx: (x1 [N, h_f, w_f, d0-in], x2_out [N, h_f/2, w_f/2, d1]) from
+                :meth:`coarse_and_ctx`.
+            cell_ids: [N, K] flat coarse-cell ids; out-of-range ids yield
+                all-zero windows (padded match slots).
+        Returns:
+            [N, K, window*window, d0] fine descriptor windows.
+        """
+        from ..ops.pallas_patch_gather import gather_patches_dma
+
+        x1, x2_out = ctx
+        n, h_f, w_f, _ = x1.shape
+        h_c, w_c = grid_hw
+        k = cell_ids.shape[1]
+        halo = 2  # two valid 3x3 convs
+        w_in = window + 2 * halo
+        half = window // 2
+
+        ci = cell_ids // w_c
+        cj = cell_ids - ci * w_c
+        in_range = (cell_ids >= 0) & (cell_ids < h_c * w_c)
+        far = jnp.int32(-10 * w_in)  # out-of-map corner -> all-zero patch
+        r0 = jnp.where(in_range, ci * stride - half - halo, far)
+        c0 = jnp.where(in_range, cj * stride - half - halo, far)
+
+        x2_up = upsample2x_align_corners(x2_out)
+        p1 = gather_patches_dma(x1, r0, c0, w_in)
+        p2 = gather_patches_dma(x2_up, r0, c0, w_in)
+        c1 = x1.shape[-1]
+        pin = self.layer1_outconv(
+            p1.reshape(n * k, w_in, w_in, c1), train
+        ) + p2.reshape(n * k, w_in, w_in, x2_up.shape[-1])
+
+        def _border_mask(off: int, size: int) -> jnp.ndarray:
+            # patch position i at offset off maps to map row r0 + off + i;
+            # the dense path has zeros (conv SAME padding) outside the map
+            rows = r0.reshape(n * k, 1, 1) + off + jax.lax.broadcasted_iota(
+                jnp.int32, (1, size, 1), 1
+            )
+            cols = c0.reshape(n * k, 1, 1) + off + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, size), 2
+            )
+            ok = ((rows >= 0) & (rows < h_f)) & ((cols >= 0) & (cols < w_f))
+            return ok[..., None]  # [N*K, size, size, 1]
+
+        out = self.layer1_outconv2(
+            pin,
+            train,
+            pad=False,
+            mid_mask=_border_mask(halo - 1, w_in - 2),
+        )
+        out = out * _border_mask(halo, window).astype(out.dtype)
+        return out.reshape(n, k, window * window, self.cfg.block_dims[0])
 
 
 class ResNetFPN_16_4(nn.Module):

@@ -83,9 +83,18 @@ class OnePosePlusModel(nn.Module):
         n, h_i, w_i, _ = img.shape
 
         # 1. backbone -------------------------------------------------------
-        feat_c_map, feat_f_map = self.backbone(img, train=train)
+        # sparse fine path: defer the 1/2-level FPN convs until the matched
+        # cells are known (backbone.fine_windows); inference-only
+        sparse_fine = cfg.fine.enable and not train and (
+            cfg.fine.sparse_fpn is True
+        )
+        if sparse_fine:
+            feat_c_map, fine_ctx = self.backbone.coarse_and_ctx(img, train=train)
+            h_f, w_f = fine_ctx[0].shape[1:3]
+        else:
+            feat_c_map, feat_f_map = self.backbone(img, train=train)
+            h_f, w_f = feat_f_map.shape[1:3]
         h_c, w_c = feat_c_map.shape[1:3]
-        h_f, w_f = feat_f_map.shape[1:3]
 
         # 2. positional encodings ------------------------------------------
         if cfg.positional_encoding:
@@ -189,10 +198,17 @@ class OnePosePlusModel(nn.Module):
         # 4. fine-level refinement ------------------------------------------
         w_win = cfg.fine.window_size
         stride = h_f // h_c
-        # windows are centered on coarse cells -> MXU-aligned gather
-        windows = gather_windows_aligned(
-            feat_f_map, matches.j_ids, (h_c, w_c), stride, w_win, train=train
-        )  # [N, K, WW, Cf]
+        if sparse_fine:
+            # FPN 1/2-level convs run only on per-match halo patches — the
+            # windows come out directly, no separate gather
+            windows = self.backbone.fine_windows(
+                fine_ctx, matches.j_ids, (h_c, w_c), stride, w_win, train
+            )  # [N, K, WW, Cf]
+        else:
+            # windows are centered on coarse cells -> MXU-aligned gather
+            windows = gather_windows_aligned(
+                feat_f_map, matches.j_ids, (h_c, w_c), stride, w_win, train=train
+            )  # [N, K, WW, Cf]
 
         desc3d_fine = batch["descriptors3d"]
         if desc3d_fine.shape[-1] != windows.shape[-1]:

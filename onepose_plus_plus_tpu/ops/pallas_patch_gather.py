@@ -92,7 +92,10 @@ def gather_patches_dma(
     r = jnp.where(valid, r, 0)
     cc = jnp.where(valid, cc, 0) * c  # minor-dim offset in the [Hp, Wp*C] view
 
-    bk = min(block_k, k)
+    # cap the out block at ~2 MB so Mosaic's double buffering keeps the
+    # kernel well inside VMEM even for wide halo patches (9x9 @ 196ch)
+    patch_bytes = window * window * c * feat.dtype.itemsize
+    bk = max(8, min(block_k, k, (2 << 20) // max(patch_bytes, 1)))
     k_pad = _round_up(k, bk)
     if k_pad != k:
         r = jnp.pad(r, ((0, 0), (0, k_pad - k)))

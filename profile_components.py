@@ -69,11 +69,17 @@ def main():
         print(f"nop: {bench(nop, img)*1e3:.1f} ms")
         return
 
-    if NAME in ("forward", "step", "fwd_nofine", "fwd_noctx", "fwd_finelite"):
+    if NAME in (
+        "forward", "step", "fwd_nofine", "fwd_noctx", "fwd_finelite",
+        "fwd_sparse",
+    ):
         import dataclasses as dc
 
         if NAME == "fwd_nofine":
             cfg = dc.replace(cfg, fine=dc.replace(cfg.fine, enable=False))
+            model = OnePosePlusModel(cfg)
+        elif NAME == "fwd_sparse":
+            cfg = dc.replace(cfg, fine=dc.replace(cfg.fine, sparse_fpn=True))
             model = OnePosePlusModel(cfg)
         elif NAME == "fwd_finelite":
             # fine FPN branch + gather + heatmap, but no fine transformer

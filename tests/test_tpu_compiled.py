@@ -160,6 +160,65 @@ def test_gather_parity_compiled():
     )
 
 
+@pytest.mark.parametrize("window,c", [(5, 128), (9, 196)])
+def test_patch_gather_parity_compiled(window, c):
+    """DMA patch gather vs the XLA generic gather at production scale."""
+    from onepose_plus_plus_tpu.ops.pallas_patch_gather import gather_patches_dma
+    from onepose_plus_plus_tpu.ops.window_gather import gather_windows
+
+    rng = np.random.default_rng(11)
+    n, h, w, k = 8, 256, 256, 512
+    feat = jnp.asarray(
+        rng.standard_normal((n, h, w, c)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    centers = jnp.asarray(rng.integers(0, h, (n, k, 2)).astype(np.int32))
+    half = window // 2
+    got = jax.jit(
+        lambda f, ctr: gather_patches_dma(
+            f, ctr[..., 0] - half, ctr[..., 1] - half, window
+        )
+    )(feat, centers)
+    want = jax.jit(lambda f, ctr: gather_windows(f, ctr, window))(feat, centers)
+    np.testing.assert_array_equal(
+        np.asarray(got.astype(jnp.float32)), np.asarray(want.astype(jnp.float32))
+    )
+
+
+def test_sparse_fine_fpn_parity_compiled():
+    """Sparse fine FPN vs dense windows, compiled on-chip at flagship scale
+    (bf16 backbone, 512^2 image, K=512 windows)."""
+    import dataclasses as dc
+
+    from onepose_plus_plus_tpu.config import ResNetFPNConfig
+    from onepose_plus_plus_tpu.models.backbone import ResNetFPN_8_2
+    from onepose_plus_plus_tpu.ops.window_gather import gather_windows_aligned
+
+    rng = np.random.default_rng(13)
+    bb = ResNetFPN_8_2(ResNetFPNConfig(), dtype=jnp.bfloat16)
+    img = jnp.asarray(rng.random((2, 512, 512, 1), np.float32))
+    v = jax.jit(lambda r, x: bb.init(r, x, train=False))(jax.random.PRNGKey(0), img)
+    ids_np = rng.integers(0, 64 * 64, (2, 512)).astype(np.int32)
+    ids_np[0, :4] = [0, 63, 63 * 64, 64 * 64 - 1]
+    ids_np[1, -4:] = -1
+    ids = jnp.asarray(ids_np)
+
+    @jax.jit
+    def dense(x, i):
+        _, ff = bb.apply(v, x)
+        return gather_windows_aligned(ff, i, (64, 64), 4, 5)
+
+    @jax.jit
+    def sparse(x, i):
+        _, ctx = bb.apply(v, x, method="coarse_and_ctx")
+        return bb.apply(v, ctx, i, (64, 64), 4, 5, method="fine_windows")
+
+    want = np.asarray(dense(img, ids).astype(jnp.float32))
+    got = np.asarray(sparse(img, ids).astype(jnp.float32))
+    scale = max(np.abs(want).max(), 1e-6)
+    err = np.abs(got - want).max()
+    assert err < 0.05 * scale, f"sparse fine FPN diverges: {err} vs scale {scale}"
+
+
 @pytest.mark.parametrize("l,s", [(25, 25), (1, 25), (25, 1), (1, 1)])
 def test_short_encoder_parity_compiled(l, s):
     """Batched-short-seq fused encoder vs XLA at the fine stage's production
