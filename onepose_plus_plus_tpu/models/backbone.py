@@ -369,13 +369,15 @@ class ResNetFPN_8_2(nn.Module):
         r0 = jnp.where(in_range, ci * stride - half - halo, far)
         c0 = jnp.where(in_range, cj * stride - half - halo, far)
 
-        x2_up = upsample2x_align_corners(x2_out)
-        p1 = gather_patches_dma(x1, r0, c0, w_in)
-        p2 = gather_patches_dma(x2_up, r0, c0, w_in)
-        c1 = x1.shape[-1]
-        pin = self.layer1_outconv(
-            p1.reshape(n * k, w_in, w_in, c1), train
-        ) + p2.reshape(n * k, w_in, w_in, x2_up.shape[-1])
+        # the 1x1 lateral conv and the upsample-add stay dense (cheap — the
+        # 3x3 pair holds ~90% of the stage FLOPs), so ONE gather fetches the
+        # exact dense conv1 input
+        pin_map = self.layer1_outconv(x1, train) + upsample2x_align_corners(
+            x2_out
+        )
+        pin = gather_patches_dma(pin_map, r0, c0, w_in).reshape(
+            n * k, w_in, w_in, pin_map.shape[-1]
+        )
 
         def _border_mask(off: int, size: int) -> jnp.ndarray:
             # patch position i at offset off maps to map row r0 + off + i;
