@@ -146,8 +146,18 @@ def gather_windows_aligned(
     return win.reshape(n, k, window * window, c).astype(feat.dtype)
 
 
-def gather_windows(feat: jnp.ndarray, centers_rc: jnp.ndarray, window: int) -> jnp.ndarray:
-    """Gather WxW windows around arbitrary integer centers (XLA gather).
+def gather_windows(
+    feat: jnp.ndarray,
+    centers_rc: jnp.ndarray,
+    window: int,
+    prefer_dma: bool | None = None,
+) -> jnp.ndarray:
+    """Gather WxW windows around arbitrary integer centers.
+
+    On TPU this routes to the DMA patch-gather kernel (one async copy per
+    window — ``ops/pallas_patch_gather.py``); elsewhere, and when
+    ``prefer_dma=False`` (e.g. a caller that needs gradients — the DMA
+    kernel has no VJP), a plain XLA gather.
 
     Args:
         feat: [N, H, W, C] feature map.
@@ -156,6 +166,15 @@ def gather_windows(feat: jnp.ndarray, centers_rc: jnp.ndarray, window: int) -> j
     Returns:
         [N, K, W*W, C] windows; taps outside the map are zero.
     """
+    if prefer_dma is None:
+        prefer_dma = jax.default_backend() == "tpu"
+    if prefer_dma:
+        from .pallas_patch_gather import gather_patches_dma
+
+        half = window // 2
+        return gather_patches_dma(
+            feat, centers_rc[..., 0] - half, centers_rc[..., 1] - half, window
+        )
     n, h, w, c = feat.shape
     offs = jnp.arange(window) - window // 2  # [W]
     rows = centers_rc[..., 0:1] + offs[None, None, :]  # [N, K, W]
