@@ -70,6 +70,7 @@ def onepose_config_from_dict(d: Optional[Dict[str, Any]] = None) -> OnePosePlusC
             enable=fi.get("enable", True),
             window_size=fi.get("window_size", 5),
             d_model=fi.get("d_model", 128),
+            sparse_fpn=fi.get("sparse_fpn", None),
             transformer=TransformerConfig(
                 d_model=fi.get("d_model", 128),
                 nhead=fi.get("nhead", 8),

@@ -47,6 +47,7 @@ def test_sparse_equals_dense(window):
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_model_forward_sparse_equals_dense():
     """Full OnePosePlus forward: sparse_fpn=True reproduces the dense path."""
     import dataclasses as dc
