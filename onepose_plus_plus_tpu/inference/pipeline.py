@@ -53,6 +53,22 @@ def make_query_step(
 
     @jax.jit
     def step(batch, rng, pose_gt):
+        batch = dict(batch)
+        img = batch["query_image"]
+        if img.dtype == jnp.uint8:
+            # uint8 transfer + on-device /255: quarters the H2D payload and
+            # is bit-identical to the reference host-side normalization
+            # (source frames are uint8; data_io.py loads then divides)
+            batch["query_image"] = img.astype(jnp.float32) / 255.0
+        b = img.shape[0]
+        for k in ("keypoints3d", "descriptors3d", "descriptors3d_coarse"):
+            # the object's point cloud is frame-invariant: accept it unbatched
+            # ([S, ...], uploaded once per object) and broadcast on device
+            # instead of tiling [B, S, ...] through the host each chunk
+            if k in batch and batch[k].ndim == 2:
+                batch[k] = jnp.broadcast_to(
+                    batch[k][None], (b,) + batch[k].shape
+                )
         out = model.apply(variables, batch, train=False)
         mkpts3d = out["mkpts_3d"]  # [B, K, 3]
         mkpts2d = out["mkpts_query_f"]  # [B, K, 2]
@@ -149,39 +165,47 @@ def run_inference(
     has_gt = all("pose_gt" in f for f in frames)
     rng = jax.random.PRNGKey(rng_seed)
 
+    # object point cloud: ONE upload per object ([S, ...], replicated when a
+    # mesh is given); the jitted step broadcasts it to the frame batch on
+    # device — no per-chunk [B, S, ...] host tiling/transfer
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+
+        put_pc = lambda x: replicate(jnp.asarray(x), mesh)
+    else:
+        put_pc = lambda x: jax.device_put(jnp.asarray(x))
+    pc = {
+        "keypoints3d": put_pc(fine["keypoints3d"]),
+        "descriptors3d": put_pc(fine["descriptors3d"]),
+    }
+    if desc_c is not None:
+        pc["descriptors3d_coarse"] = put_pc(desc_c)
+
     poses, inliers, oks, r_errs, t_errs = [], [], [], [], []
     for s in range(0, len(frames), frame_batch):
         chunk = frames[s : s + frame_batch]
         pad = frame_batch - len(chunk)
         chunk_p = chunk + [chunk[-1]] * pad
-        b = len(chunk_p)
+        imgs = np.stack([f["image"][..., None] for f in chunk_p], 0)
         batch = {
+            # uint8 frames stay uint8 over the wire (normalized in-jit)
             "query_image": jnp.asarray(
-                np.stack([f["image"][..., None] for f in chunk_p], 0), jnp.float32
-            ),
-            "keypoints3d": jnp.tile(jnp.asarray(fine["keypoints3d"]), (b, 1, 1)),
-            "descriptors3d": jnp.tile(
-                jnp.asarray(fine["descriptors3d"]), (b, 1, 1)
+                imgs, imgs.dtype if imgs.dtype == np.uint8 else jnp.float32
             ),
             "intrinsics": jnp.asarray(
                 np.stack([f["K"] for f in chunk_p], 0), jnp.float32
             ),
         }
-        if desc_c is not None:
-            batch["descriptors3d_coarse"] = jnp.tile(
-                jnp.asarray(desc_c), (b, 1, 1)
-            )
         gt = (
             jnp.asarray(np.stack([f["pose_gt"] for f in chunk_p]), jnp.float32)
             if has_gt
             else None
         )
         if mesh is not None:
-            from ..parallel.mesh import shard_batch
-
             batch = shard_batch(batch, mesh)
             if gt is not None:
                 gt = shard_batch({"gt": gt}, mesh)["gt"]
+        batch.update(pc)
         rng, sub = jax.random.split(rng)
         p, ni, ok, re, te = step(batch, sub, gt)
         n = len(chunk)

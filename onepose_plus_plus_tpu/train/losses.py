@@ -188,4 +188,7 @@ def compute_losses(
         loss = loss + loss_f * effective_fine_weight(cfg, window_size)
         scalars["loss_f"] = loss_f
     scalars["loss"] = loss
+    # reference logs `train/max conf_matrix` every log interval
+    # (OnePosePlus_lightning_model.py:70-72)
+    scalars["max_conf"] = jnp.max(out["conf_matrix"])
     return loss, scalars

@@ -62,11 +62,41 @@ def _set_path(cfg: Dict, dotted: str, value: Any) -> None:
     node[parts[-1]] = value
 
 
+_FLOAT_RE = __import__("re").compile(
+    r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$"
+)
+
+
 def _parse_value(s: str) -> Any:
     try:
-        return yaml.safe_load(s)
+        v = yaml.safe_load(s)
     except yaml.YAMLError:
         return s
+    # YAML 1.1 parses dot-less scientific notation ("1e-6") as a string;
+    # Hydra/OmegaConf accept it as a float — match that CLI surface
+    if isinstance(v, str) and _FLOAT_RE.match(v):
+        return float(v)
+    return v
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Default every CLI to a persistent XLA compilation cache so repeat
+    invocations (stage re-runs, per-object loops across processes) skip the
+    20-40 s whole-pipeline compiles. Honors an existing
+    ``JAX_COMPILATION_CACHE_DIR``; best-effort if jax is unavailable."""
+    try:
+        import tempfile
+
+        import jax
+
+        path = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(tempfile.gettempdir(), "onepose_jax_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover
+        pass
 
 
 def load_config(
@@ -79,6 +109,7 @@ def load_config(
         ``<dotted.key>=<value>``   — override a single value;
     anything else raises (matching Hydra's strictness).
     """
+    _enable_persistent_compile_cache()
     argv = list(argv or [])
     cfg: Dict = {}
     root = os.path.join(configs_dir, defaults_file)

@@ -1,0 +1,210 @@
+"""Closed-loop accuracy experiment: train the matcher on a mapped object,
+then evaluate pose accuracy on held-out views with the TRAINED weights.
+
+Every metrics.txt recorded so far used random-init weights (no released
+checkpoint exists in this environment), so pose accuracy was structurally 0.
+This script produces the framework's first non-vacuous accuracy numbers by
+closing the reference's own loop (SURVEY.md §3.1→3.4→3.2) on one object:
+
+    1. render a synthetic OnePose-format object as TWO sequences over one
+       textured plane (toy-1 = mapping/training views, toy-2 = held-out test
+       views, interleaved on the camera ring)
+    2. run.py            — keypoint-free SfM on toy-1 -> 3D annotations
+    3. merge.py          — COCO-style training annotations from the SfM model
+    4. train_onepose_plus.py — overfit the 2D-3D matcher on toy-1
+    5. inference.py      — evaluate 1/3/5cm@deg on toy-2 with the trained ckpt
+
+Snapshot lands in artifacts/overfit_e2e[_tpu]/. CPU mode shrinks the model
+and resolution to prototype the chain; --tpu runs the production config.
+
+Usage: python scripts/overfit_e2e.py [--frames-per-seq 24] [--img 256]
+           [--epochs 40] [--tpu]
+"""
+import argparse
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from record_e2e import run_cli  # noqa: E402  (same CLI env handling)
+
+
+def build_object(data_dir, obj, seq_names, frames_per_seq, img, rng):
+    """Plane-homography render (same construction as record_e2e.py): all
+    sequences view one textured z=0 plane, cameras interleaved on the ring
+    so test views sit between training views."""
+    import cv2
+    from synthetic_scenes import make_scene
+
+    n_total = frames_per_seq * len(seq_names)
+    K, _, Ts = make_scene(rng, n_views=n_total, n_pts=64, img=float(img))
+    blk = max(img // 32, 4)
+    tex = (np.kron(rng.random((64, 64)), np.ones((blk, blk))) * 255).astype(
+        np.uint8
+    )
+    S = np.array(
+        [[2 * img / 0.8, 0, img], [0, 2 * img / 0.8, img], [0, 0, 1.0]]
+    )
+    for s, seq in enumerate(seq_names):
+        seq_dir = os.path.join(data_dir, obj, seq)
+        for sub in ("color", "intrin_ba", "poses_ba"):
+            os.makedirs(os.path.join(seq_dir, sub), exist_ok=True)
+        for j in range(frames_per_seq):
+            i = j * len(seq_names) + s  # interleave seqs along the ring
+            R, t = Ts[i][:3, :3], Ts[i][:3, 3]
+            M = K @ np.stack([R[:, 0], R[:, 1], t], axis=1)
+            H = M @ np.linalg.inv(S)
+            im = cv2.warpPerspective(tex, H, (img, img))
+            cv2.imwrite(os.path.join(seq_dir, "color", f"{j}.png"), im)
+            np.savetxt(os.path.join(seq_dir, "intrin_ba", f"{j}.txt"), K)
+            np.savetxt(os.path.join(seq_dir, "poses_ba", f"{j}.txt"), Ts[i])
+    corners = np.array(
+        [[x, y, z] for z in (-0.3, 0.3) for y in (-0.3, 0.3) for x in (-0.3, 0.3)]
+    )
+    np.savetxt(os.path.join(data_dir, obj, "box3d_corners.txt"), corners)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames-per-seq", type=int, default=None)
+    ap.add_argument("--img", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--tpu", action="store_true")
+    args = ap.parse_args()
+    tpu = args.tpu
+    frames = args.frames_per_seq or (24 if tpu else 12)
+    img = args.img or (512 if tpu else 128)
+    epochs = args.epochs or (40 if tpu else 30)
+    workdir = args.workdir or ("/tmp/overfit_e2e_tpu" if tpu else "/tmp/overfit_e2e")
+
+    obj = "0001-toy-box"
+    data_dir = os.path.join(workdir, "data")
+    sfm_dir = os.path.join(workdir, "sfm_outputs")
+    out_dir = os.path.join(workdir, "results")
+    ckpt_dir = os.path.join(workdir, "ckpts")
+    shutil.rmtree(workdir, ignore_errors=True)
+    build_object(
+        data_dir, obj, ("toy-1", "toy-2"), frames, img, np.random.default_rng(0)
+    )
+
+    # small-model overrides shared by train + inference (checkpoint must
+    # load back into the identical architecture); TPU runs the full model
+    model_ov = (
+        []
+        if tpu
+        else [
+            "model.loftr_coarse.layer_iter_n=2",
+            "model.match_coarse.max_matches=256",
+            "model.match_coarse.train_max_matches=256",
+            "model.match_coarse.train_pad_num_gt_min=32",
+            "model.compute_dtype=float32",
+        ]
+    )
+    shape3d = 7000 if tpu else 512
+    thr_ov = "model.match_coarse.thr=1e-4"  # trained conf: modest threshold
+
+    run_cli(
+        "run.py",
+        [
+            "+preprocess=sfm_inference_onepose",
+            "ids=null",
+            f"dataset.data_dir={data_dir}",
+            f"dataset.outputs_dir={sfm_dir}",
+            "dataset.down_ratio=1",
+            f"sfm.pair_batch={8 if tpu else 4}",
+            f"sfm.covis_num={10 if tpu else 8}",
+            "sfm.max_epipolar_error_px=8.0",
+            "model.match_coarse.thr=1e-6",  # random-init SfM: diffuse conf
+        ]
+        + ([] if tpu else ["model.compute_dtype=float32"]),
+        tpu=tpu,
+    )
+    train_json = os.path.join(workdir, "train_anno.json")
+    run_cli(
+        "merge.py",
+        [
+            "+preprocess=merge_anno",
+            f"dataset.sfm_outputs_dir={sfm_dir}",
+            f"dataset.out_train_file={train_json}",
+            "dataset.out_val_file=null",
+        ],
+        tpu=tpu,
+    )
+    exp = "overfit"
+    run_cli(
+        "train_onepose_plus.py",
+        [
+            "+experiment=train",
+            f"exp_name={exp}",
+            f"dataset.train_anno_file={train_json}",
+            f"dataset.img_resize={img}",
+            f"dataset.shape3d_train={shape3d}",
+            "dataset.image_warp_adapt=false",
+            "dataset.val_anno_file=null",
+            f"trainer.epochs={epochs}",
+            f"trainer.batch_size={4 if tpu else 1}",
+            "trainer.grad_accum=1",
+            f"trainer.n_devices={1 if tpu else 4}",
+            "trainer.log_every_n_steps=20",
+            "trainer.enable_plotting=false",
+            # overfit: constant LR (no decay milestones inside the budget)
+            "trainer.milestones=[1000]",
+            f"ckpt_dir={ckpt_dir}",
+            f"log_dir={os.path.join(workdir, 'logs')}",
+        ]
+        + model_ov,
+        tpu=tpu,
+    )
+    weights = os.path.join(ckpt_dir, exp, "last")
+    run_cli(
+        "inference.py",
+        [
+            "+experiment=inference_onepose",
+            "ids=null",
+            f"dataset.data_dir={data_dir}",
+            f"dataset.sfm_outputs_dir={sfm_dir}",
+            f"dataset.img_resize={img}",
+            f"dataset.shape3d={shape3d}",
+            "num_val_seq=1",  # evaluate the held-out toy-2 only
+            f"network.onepose_weights={weights}",
+            f"inference.frame_batch={8 if tpu else 4}",
+            thr_ov,
+            f"output_dir={out_dir}",
+        ]
+        + model_ov
+        + ([] if tpu else ["inference.num_hypotheses=128"]),
+        tpu=tpu,
+    )
+
+    art = os.path.join(REPO, "artifacts", "overfit_e2e_tpu" if tpu else "overfit_e2e")
+    os.makedirs(art, exist_ok=True)
+    shutil.copy(os.path.join(out_dir, "metrics.txt"), os.path.join(art, "metrics.txt"))
+    metrics = open(os.path.join(out_dir, "metrics.txt")).read()
+    meta = {
+        "hardware": "TPU v5e (1 chip, axon tunnel), bf16"
+        if tpu
+        else "CPU (4 virtual devices), f32, reduced model",
+        "scene": {
+            "frames_per_seq": frames,
+            "img": img,
+            "train_seq": "toy-1",
+            "test_seq": "toy-2 (held-out interleaved views)",
+        },
+        "epochs": epochs,
+        "pipeline": ["run.py", "merge.py", "train_onepose_plus.py", "inference.py"],
+        "weights": "trained in-loop by this script (no released ckpt exists here)",
+    }
+    json.dump(meta, open(os.path.join(art, "meta.json"), "w"), indent=1)
+    print(metrics)
+    print("artifacts ->", art)
+
+
+if __name__ == "__main__":
+    main()

@@ -236,3 +236,44 @@ class TestMeshSharding:
         assert res.poses.shape == (8, 4, 4)
         assert res.ok.all()
         assert res.metrics["5cm@5degree"] == 1.0
+
+
+class TestQueryStepTransferForms:
+    """make_query_step accepts unbatched point clouds (broadcast in-jit) and
+    uint8 images (normalized in-jit) — both must match the batched/float
+    forms exactly."""
+
+    @pytest.mark.slow
+    def test_unbatched_pc_and_uint8_image_match_batched_float(self):
+        import jax
+
+        rng = np.random.default_rng(7)
+        b, s = 2, 256
+        K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32)
+        model = MockMatcherModel([np.eye(4, dtype=np.float32)] * b)
+        from onepose_plus_plus_tpu.inference.pipeline import make_query_step
+
+        step = make_query_step(model, {}, num_hypotheses=64)
+
+        img_u8 = rng.integers(0, 256, (b, 64, 64, 1)).astype(np.uint8)
+        pc = {
+            "keypoints3d": rng.standard_normal((s, 3)).astype(np.float32),
+            "descriptors3d": rng.standard_normal((s, 8)).astype(np.float32),
+        }
+        base = {
+            "intrinsics": np.tile(K, (b, 1, 1)),
+        }
+        batched_float = dict(
+            base,
+            query_image=img_u8.astype(np.float32) / 255.0,
+            keypoints3d=np.tile(pc["keypoints3d"], (b, 1, 1)),
+            descriptors3d=np.tile(pc["descriptors3d"], (b, 1, 1)),
+        )
+        compact = dict(base, query_image=img_u8, **pc)
+        key = jax.random.PRNGKey(0)
+        out_a = step(
+            {k: jnp.asarray(v) for k, v in batched_float.items()}, key, None
+        )
+        out_b = step({k: jnp.asarray(v) for k, v in compact.items()}, key, None)
+        for a, c in zip(out_a[:2], out_b[:2]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)

@@ -7,6 +7,7 @@ each conv, and BN renormalizes between convs — and (c) remain inactive
 during training (rounding has no useful gradient).
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +21,7 @@ def _textured_batch(rng, n=2, img=64):
     return jnp.asarray(tex[..., None], jnp.float32)
 
 
+@pytest.mark.slow
 def test_param_tree_identical_and_outputs_close():
     rng = np.random.default_rng(0)
     x = _textured_batch(rng)
@@ -44,6 +46,7 @@ def test_param_tree_identical_and_outputs_close():
         assert rel < 0.12, f"rel={rel}"
 
 
+@pytest.mark.slow
 def test_train_path_ignores_quant():
     """train=True must produce the exact unquantized forward (and gradients
     flow through the float conv)."""

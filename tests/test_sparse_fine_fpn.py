@@ -41,6 +41,7 @@ def _run(window: int, img_hw: int = 64, seed: int = 0):
     return np.asarray(got), np.asarray(want)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("window", [5, 7])
 def test_sparse_equals_dense(window):
     got, want = _run(window)
@@ -92,6 +93,7 @@ def test_model_forward_sparse_equals_dense():
     )
 
 
+@pytest.mark.slow
 def test_sparse_equals_dense_bf16():
     rng = np.random.default_rng(3)
     cfg = ResNetFPNConfig(initial_dim=16, block_dims=(16, 24, 32))

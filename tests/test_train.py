@@ -320,3 +320,68 @@ def test_grad_accum_updates_params_every_k_steps():
     state, _ = train_step(model, state, batch, jax.random.PRNGKey(2), tc)
     p2 = state.params["loftr_coarse"]["layer_0"]["q_proj"]["kernel"]
     assert not np.allclose(np.asarray(p1), np.asarray(p2))
+
+
+@pytest.mark.slow
+def test_train_match_figure_callback():
+    """enable_plotting parity (reference OnePosePlus_lightning_model.py:73-79):
+    the callback renders a reprojection figure from the live batch and logs
+    max_conf alongside the loss scalars."""
+    from onepose_plus_plus_tpu.train.callbacks import TrainMatchFigureCallback
+    from onepose_plus_plus_tpu.train.losses import LossConfig, compute_losses
+    from onepose_plus_plus_tpu.train.train_step import (
+        TrainConfig,
+        create_train_state,
+    )
+
+    rng = np.random.default_rng(3)
+    n, img, l = 2, 64, 32
+    s = (img // 8) ** 2
+    batch = {
+        "query_image": jnp.asarray(rng.random((n, img, img, 1), np.float32)),
+        "keypoints3d": jnp.asarray(rng.standard_normal((n, l, 3)).astype(np.float32)),
+        "descriptors3d": jnp.asarray(
+            rng.standard_normal((n, l, 128)).astype(np.float32)
+        ),
+        "descriptors3d_coarse": jnp.asarray(
+            rng.standard_normal((n, l, 256)).astype(np.float32)
+        ),
+        "gt_cell": jnp.asarray(rng.integers(0, s, (n, l)).astype(np.int32)),
+        "gt_fine_xy": jnp.asarray((rng.random((n, l, 2)) * (img - 1)).astype(np.float32)),
+    }
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), _tiny_cfg(), TrainConfig(), batch, world_batch_size=n
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # max_conf scalar present in compute_losses output
+    out, _ = model.apply(
+        variables,
+        batch,
+        train=True,
+        rngs={"matching": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    _, scalars = compute_losses(out, batch, LossConfig(), window_size=5)
+    assert 0.0 <= float(scalars["max_conf"]) <= 1.0
+
+    cb = TrainMatchFigureCallback(model, every=1)
+    cb.set_batch(batch, variables)
+    fig = cb.make_figure(step=1)
+    # random init: matches may or may not pass the confidence threshold, but
+    # the path must run; with a figure, it must be a matplotlib Figure
+    if fig is not None:
+        import matplotlib.figure
+
+        assert isinstance(fig, matplotlib.figure.Figure)
+
+    class W:
+        def __init__(self):
+            self.figs = []
+
+        def add_figure(self, tag, fig, step):
+            self.figs.append(tag)
+
+    w = W()
+    cb.on_step(1, {}, w)
+    assert (fig is None) or w.figs == ["train_match/reprojection"]

@@ -184,6 +184,7 @@ class TestTorchConversion:
             sd["loftr_coarse.layers.0.norm1.weight"],
         )
 
+    @pytest.mark.slow
     def test_strict_raises_on_shape_mismatch(self):
         _, variables = self._variables()
         sd = {"backbone.conv1.weight": np.zeros((64, 1, 7, 7), np.float32)}
@@ -210,3 +211,15 @@ class TestPlotting:
         for f in (f1, f2, f3):
             arr = figure_to_array(f)
             assert arr.ndim == 3 and arr.shape[2] == 3 and arr.max() > 0
+
+
+def test_override_scientific_notation_floats():
+    """Hydra/OmegaConf parse dot-less scientific notation as float; YAML 1.1
+    alone would yield the string "1e-6" (caught by the verify drive:
+    model.match_coarse.thr=1e-6 reached the matcher as a str)."""
+    from onepose_plus_plus_tpu.utils.config_loader import _parse_value
+
+    assert _parse_value("1e-6") == 1e-6
+    assert isinstance(_parse_value("1e-6"), float)
+    assert _parse_value("1e6x") == "1e6x"
+    assert _parse_value("3.3") == 3.3

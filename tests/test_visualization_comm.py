@@ -64,6 +64,7 @@ class TestComm:
 
 
 class TestProfilingTrace:
+    @pytest.mark.slow
     def test_trace_writes_artifacts(self, tmp_path):
         import jax.numpy as jnp
 

@@ -162,6 +162,13 @@ def train(cfg) -> None:
     except Exception:
         pass
 
+    log_every = int(cfg.trainer.get("log_every_n_steps", 50))
+    fig_cb = None
+    if cfg.trainer.get("enable_plotting") and writer is not None:
+        from onepose_plus_plus_tpu.train.callbacks import TrainMatchFigureCallback
+
+        fig_cb = TrainMatchFigureCallback(model, every=log_every)
+
     with mesh:
         state = state.replace(
             params=replicate(state.params, mesh),
@@ -198,7 +205,7 @@ def train(cfg) -> None:
                 rng, sub = jax.random.split(rng)
                 state, scalars = step_fn(state, jbatch, sub)
                 global_step += 1
-                if global_step % 50 == 0 or global_step == 1:
+                if global_step % log_every == 0 or global_step == 1:
                     loss = float(scalars["loss"])
                     print(
                         f"epoch {epoch} step {global_step} loss {loss:.4f} "
@@ -207,6 +214,15 @@ def train(cfg) -> None:
                     if writer:
                         for k, v in scalars.items():
                             writer.add_scalar(f"train/{k}", float(v), global_step)
+                    if fig_cb is not None:
+                        fig_cb.set_batch(
+                            jbatch,
+                            {
+                                "params": state.params,
+                                "batch_stats": state.batch_stats,
+                            },
+                        )
+                        fig_cb.on_step(global_step, scalars, writer)
             # per-epoch checkpoint (reference save_top_k=-1 + last)
             save_checkpoint(
                 os.path.join(ckpt_dir, f"epoch_{epoch}"),
