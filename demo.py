@@ -152,6 +152,14 @@ def inference(cfg) -> None:
     frame_paths = []
     pose_prev, inliers_prev = None, 0
     rng = jax.random.PRNGKey(0)
+    # point cloud: one device upload for the whole video — the query step
+    # broadcasts unbatched [S, ...] entries on device (inference/pipeline.py)
+    pc_dev = {
+        "keypoints3d": jax.device_put(jnp.asarray(pc["keypoints3d"])),
+        "descriptors3d": jax.device_put(jnp.asarray(pc["descriptors3d"])),
+    }
+    if desc_c is not None:
+        pc_dev["descriptors3d_coarse"] = jax.device_put(jnp.asarray(desc_c))
     for fid in range(len(ds)):
         f = ds[fid]
         if pose_prev is None or inliers_prev < cfg.demo.min_track_inliers:
@@ -163,12 +171,9 @@ def inference(cfg) -> None:
             )
         batch = {
             "query_image": jnp.asarray(crop[None, ..., None], jnp.float32),
-            "keypoints3d": jnp.asarray(pc["keypoints3d"][None]),
-            "descriptors3d": jnp.asarray(pc["descriptors3d"][None]),
             "intrinsics": jnp.asarray(K_crop[None].astype(np.float32)),
+            **pc_dev,
         }
-        if desc_c is not None:
-            batch["descriptors3d_coarse"] = jnp.asarray(desc_c[None])
         rng, sub = jax.random.split(rng)
         poses, n_inl, ok, _, _ = step(batch, sub, None)
         pose = np.asarray(poses[0])

@@ -93,10 +93,16 @@ def records_from_coco(anno_file: str) -> List[FrameRecord]:
             rec.pose = np.loadtxt(pose_p).reshape(4, 4)
         if os.path.exists(intr_p):
             rec.K = np.loadtxt(intr_p).reshape(3, 3)
-        if "anno2d_file" in a and os.path.exists(a["anno2d_file"]):
+        if "assign_matrix" in a:
+            # merge.py inlines the per-image [2, M] assign matrix in the
+            # annotation entry (the per-object anno_2d.json it also points to
+            # is a LIST of per-image entries, not directly indexable here)
+            rec.assign_pairs = np.asarray(a["assign_matrix"], np.int64)
+        elif "anno2d_file" in a and os.path.exists(a["anno2d_file"]):
             with open(a["anno2d_file"]) as f:
                 a2d = json.load(f)
-            rec.assign_pairs = np.asarray(a2d["assign_matrix"], np.int64)
+            if isinstance(a2d, dict) and "assign_matrix" in a2d:
+                rec.assign_pairs = np.asarray(a2d["assign_matrix"], np.int64)
         out.append(rec)
     return out
 

@@ -200,6 +200,9 @@ def run_sfm(
         fine_desc,
         coarse_descriptors=coarse_desc,
         out_dir=anno_dir,
+        # absolute frame paths so anno_2d.json/merge.py records are loadable
+        # by the training dataset (image id == index into the mapping list)
+        image_paths={i: os.path.abspath(p) for i, p in enumerate(image_paths)},
     )
 
     stats = model_stats(cameras, imgs, points3d)

@@ -203,3 +203,30 @@ class TestParseLMRealData:
         assert np.isclose(T[2, 3], 0.6)  # mm -> m conversion
         K_crop = np.loadtxt(seq / "intrin_ba" / "0.txt")
         assert K_crop.shape == (3, 3)
+
+
+def test_load_records_detects_coco_vs_manifest(tmp_path):
+    """Structural JSON detection (the 512-byte head sniff misclassified real
+    merged COCO files whose "annotations" key sits beyond the head)."""
+    import json
+    import sys
+
+    sys.path.insert(0, REPO)
+    from train_onepose_plus import load_records
+
+    coco = {
+        "images": [
+            {"id": i, "img_file": f"/x/color/{i}.png"} for i in range(40)
+        ],
+        "annotations": [],
+    }
+    p1 = tmp_path / "coco.json"
+    p1.write_text(json.dumps(coco))
+    recs = load_records(str(p1))
+    assert len(recs) == 40 and recs[0].img_file.endswith("0.png")
+
+    manifest = [{"img_file": "/x/color/0.png"}]
+    p2 = tmp_path / "manifest.json"
+    p2.write_text(json.dumps(manifest))
+    recs = load_records(str(p2))
+    assert len(recs) == 1

@@ -300,3 +300,54 @@ def test_device_prefetch_preserves_order():
     out = list(device_prefetch(iter(range(5)), lambda x: x * 2, depth=2))
     assert out == [0, 2, 4, 6, 8]
     assert list(device_prefetch(iter([]), lambda x: x)) == []
+
+
+def test_merge_coco_roundtrip(tmp_path):
+    """merge.py writer <-> records_from_coco reader coupling (the reader once
+    indexed the per-object anno_2d.json LIST as a dict; caught by the
+    overfit-e2e drive)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from merge import merge_annotations
+
+    from onepose_plus_plus_tpu.data import save_3d_annotation
+    from onepose_plus_plus_tpu.data.dataset import records_from_coco
+
+    rng = np.random.default_rng(0)
+    obj = tmp_path / "sfm" / "0001-thing"
+    (obj / "anno").mkdir(parents=True)
+    seq = tmp_path / "data" / "0001-thing" / "thing-1"
+    for sub in ("color", "poses_ba", "intrin_ba"):
+        (seq / sub).mkdir(parents=True)
+    save_3d_annotation(
+        str(obj / "anno" / "anno_3d_average.npz"),
+        rng.standard_normal((10, 3)).astype(np.float32),
+        rng.standard_normal((10, 128)).astype(np.float32),
+        np.ones(10, np.float32),
+    )
+    entries = []
+    for i in range(2):
+        np.savetxt(seq / "poses_ba" / f"{i}.txt", np.eye(4))
+        np.savetxt(seq / "intrin_ba" / f"{i}.txt", np.eye(3) * 100)
+        entries.append(
+            {
+                "img_id": i,
+                "img_file": str(seq / "color" / f"{i}.png"),
+                "keypoints2d": [[1.0, 2.0]],
+                "scores2d": [[1.0]],
+                "assign_matrix": [[0, 3], [5, 7]],
+            }
+        )
+    with open(obj / "anno" / "anno_2d.json", "w") as f:
+        json.dump(entries, f)
+
+    out = tmp_path / "train.json"
+    merge_annotations(str(tmp_path / "sfm"), str(out))
+    recs = records_from_coco(str(out))
+    assert len(recs) == 2
+    for r in recs:
+        assert r.avg_anno3d_file.endswith("anno_3d_average.npz")
+        np.testing.assert_array_equal(r.assign_pairs, [[0, 3], [5, 7]])
+        assert r.pose is not None and r.K is not None

@@ -38,9 +38,13 @@ CONFIGS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs"
 
 
 def load_records(path: str):
+    import json
+
     with open(path) as f:
-        head = f.read(512)
-    if '"images"' in head and '"annotations"' in head:
+        doc = json.load(f)
+    # merged COCO json (merge.py) is a dict with images/annotations;
+    # a plain manifest is a list of frame records
+    if isinstance(doc, dict) and "images" in doc:
         return records_from_coco(path)
     return load_manifest(path)
 
