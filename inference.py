@@ -213,6 +213,21 @@ def inference(cfg) -> None:
         if res.R_errs is not None:
             all_R.extend(res.R_errs.tolist())
             all_t.extend(res.t_errs.tolist())
+            # per-frame error dump for threshold/diagnosis work (reference
+            # keeps only aggregates; frame ids follow the pooled seq order)
+            with open(os.path.join(out_dir, f"errors_{obj_name}.json"), "w") as f:
+                json.dump(
+                    {
+                        "frames": [r.img_file for r in records],
+                        "R_errs_deg": np.asarray(res.R_errs).tolist(),
+                        "t_errs_m": np.asarray(res.t_errs).tolist(),
+                        "num_inliers": np.asarray(res.num_inliers).tolist()
+                        if res.num_inliers is not None
+                        else None,
+                    },
+                    f,
+                    indent=1,
+                )
         print(f"[{obj_name}] {len(ds)} frames: {res.metrics}")
 
     summary = aggregate_metrics(

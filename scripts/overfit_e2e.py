@@ -77,11 +77,18 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument(
+        "--no-warp-adapt",
+        action="store_true",
+        help="disable the homography warp doubling (reference image_warp_adapt;"
+        " without it the matcher memorizes mapped views and held-out accuracy"
+        " collapses — per-frame R errors snap to wrong ring positions)",
+    )
     args = ap.parse_args()
     tpu = args.tpu
-    frames = args.frames_per_seq or (24 if tpu else 12)
+    frames = args.frames_per_seq or (24 if tpu else 24)
     img = args.img or (512 if tpu else 128)
-    epochs = args.epochs or (40 if tpu else 30)
+    epochs = args.epochs or (150 if tpu else 80)
     workdir = args.workdir or ("/tmp/overfit_e2e_tpu" if tpu else "/tmp/overfit_e2e")
 
     obj = "0001-toy-box"
@@ -146,7 +153,7 @@ def main():
             f"dataset.train_anno_file={train_json}",
             f"dataset.img_resize={img}",
             f"dataset.shape3d_train={shape3d}",
-            "dataset.image_warp_adapt=false",
+            f"dataset.image_warp_adapt={'false' if args.no_warp_adapt else 'true'}",
             "dataset.val_anno_file=null",
             f"trainer.epochs={epochs}",
             f"trainer.batch_size={4 if tpu else 1}",
@@ -154,8 +161,10 @@ def main():
             f"trainer.n_devices={1 if tpu else 4}",
             "trainer.log_every_n_steps=20",
             "trainer.enable_plotting=false",
-            # overfit: constant LR (no decay milestones inside the budget)
+            # overfit: constant LR (no decay milestones inside the budget);
+            # CPU prototype runs hotter to converge inside the wall budget
             "trainer.milestones=[1000]",
+            *([] if tpu else ["trainer.canonical_lr=4e-4"]),
             f"ckpt_dir={ckpt_dir}",
             f"log_dir={os.path.join(workdir, 'logs')}",
         ]
