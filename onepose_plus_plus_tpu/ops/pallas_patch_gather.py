@@ -8,12 +8,20 @@ worse for larger halo patches (a 9x9/196-ch gather would burn ~6 TFLOP of
 selection matmuls, more than the convs it feeds).
 
 This kernel instead issues ONE async copy per patch: the feature map stays in
-HBM (``memory_space=ANY``), patch top-left corners arrive via scalar
-prefetch, and each grid step DMAs a block of ``[W, W*C]`` strided slices
-straight into the output tile. Cost scales with the number of patches (DMA
-issue rate on the scalar core) and the payload bytes — independent of window
-area beyond bandwidth, so 9x9 halo patches cost the same issue overhead as
-5x5 windows.
+HBM, patch corners arrive via scalar prefetch, and each grid step DMAs a
+block of strided slices straight into the output tile. Cost scales with the
+number of patches (DMA issue rate on the scalar core) and the payload bytes —
+independent of window area beyond bandwidth, so 9x9 halo patches cost the
+same issue overhead as 5x5 windows.
+
+Mosaic constrains every memref slice — including HBM->VMEM DMA sources — to
+offsets and extents it can PROVE aligned to the (8, 128) tiling on the two
+minor dims. Arbitrary patch corners are therefore unexpressible directly;
+instead the kernel copies the aligned SUPERSET block containing each patch
+(row offset ``8*(r//8)``, lane offset ``128*(off//128)`` — the prefetched
+scalars hold the tile indices, and the in-kernel ``*8``/``*128`` makes
+divisibility provable), and the wrapper slices the true ``[W, W*C]`` window
+back out with XLA gathers over the residues.
 
 Zero out-of-bounds semantics (reference ``fine_preprocess.py`` zero padding,
 ``F.unfold(padding=W//2)``) come from gathering out of a zero-padded map: the
@@ -31,17 +39,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(row0_ref, coloff_ref, feat_ref, out_ref, sems, *, bk: int, w: int):
+def _kernel(
+    rtile_ref, ctile_ref, feat_ref, out_ref, sems, *, bk: int, rows: int
+):
     n = pl.program_id(0)
     kb = pl.program_id(1)
     k0 = kb * bk
+    lanes = out_ref.shape[-1]
     dmas = []
     for b in range(bk):
-        r0 = row0_ref[n, k0 + b]
-        c0 = coloff_ref[n, k0 + b]
+        r0 = rtile_ref[n, k0 + b] * 8  # provably 8-aligned sublane offset
+        c0 = ctile_ref[n, k0 + b] * 128  # provably 128-aligned lane offset
         dmas.append(
             pltpu.make_async_copy(
-                feat_ref.at[n].at[pl.ds(r0, w), pl.ds(c0, out_ref.shape[-1])],
+                feat_ref.at[n].at[pl.ds(r0, rows), pl.ds(c0, lanes)],
                 out_ref.at[0, b],
                 sems.at[b],
             )
@@ -92,35 +103,59 @@ def gather_patches_dma(
     r = jnp.where(valid, r, 0)
     cc = jnp.where(valid, cc, 0) * c  # minor-dim offset in the [Hp, Wp*C] view
 
+    # aligned superset block: rows [8*(r//8), +R), lanes [128*(cc//128), +L);
+    # the true window sits at residue (r%8, cc%128) inside it
+    wc = window * c
+    rows_blk = _round_up(window + 7, 8)
+    lanes_exact = c % 128 == 0  # cc is then always 128-aligned -> no residue
+    lanes_blk = _round_up(wc, 128) if lanes_exact else _round_up(wc + 127, 128)
+    # pad the flattened map so superset reads stay in bounds: max row base is
+    # 8*((hp-window)//8) <= hp-window, max lane base <= (wp-window)*c
+    hp8 = _round_up(hp - window + rows_blk, 8)
+    minor = _round_up((wp - window) * c + lanes_blk, 128)
+
     # cap the out block at ~2 MB so Mosaic's double buffering keeps the
     # kernel well inside VMEM even for wide halo patches (9x9 @ 196ch)
-    patch_bytes = window * window * c * feat.dtype.itemsize
+    patch_bytes = rows_blk * lanes_blk * feat.dtype.itemsize
     bk = max(8, min(block_k, k, (2 << 20) // max(patch_bytes, 1)))
     k_pad = _round_up(k, bk)
+    rt, ct = r // 8, cc // 128
     if k_pad != k:
-        r = jnp.pad(r, ((0, 0), (0, k_pad - k)))
-        cc = jnp.pad(cc, ((0, 0), (0, k_pad - k)))
+        rt = jnp.pad(rt, ((0, 0), (0, k_pad - k)))
+        ct = jnp.pad(ct, ((0, 0), (0, k_pad - k)))
 
     f2 = fp.reshape(n, hp, wp * c)
+    if hp8 != hp or minor != wp * c:
+        f2 = jnp.pad(f2, ((0, 0), (0, max(hp8 - hp, 0)), (0, minor - wp * c)))
     out = pl.pallas_call(
-        functools.partial(_kernel, bk=bk, w=window),
+        functools.partial(_kernel, bk=bk, rows=rows_blk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n, k_pad // bk),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
             out_specs=pl.BlockSpec(
-                (1, bk, window, window * c),
+                (1, bk, rows_blk, lanes_blk),
                 lambda i, j, *_: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[pltpu.SemaphoreType.DMA((bk,))],
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n, k_pad, window, window * c), feat.dtype
+            (n, k_pad, rows_blk, lanes_blk), feat.dtype
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")
         ),
-    )(r, cc, f2)
-    return out[:, :k].reshape(n, k, window * window, c)
+    )(rt, ct, f2)
+
+    # slice the true [W, W*C] window out of each aligned superset block
+    out = out[:, :k]
+    row_idx = (r % 8)[..., None] + jnp.arange(window, dtype=jnp.int32)
+    out = jnp.take_along_axis(out, row_idx[..., None], axis=2)
+    if lanes_exact:
+        out = out[..., :wc]
+    else:
+        col_idx = (cc % 128)[..., None] + jnp.arange(wc, dtype=jnp.int32)
+        out = jnp.take_along_axis(out, col_idx[:, :, None, :], axis=3)
+    return out.reshape(n, k, window * window, c)
