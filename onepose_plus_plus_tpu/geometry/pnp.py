@@ -169,6 +169,75 @@ def _fit_pose_dlt(pts3d: jnp.ndarray, pts2dn: jnp.ndarray) -> tuple:
     return R, t
 
 
+def _fit_pose_planar(pts3d: jnp.ndarray, pts2dn: jnp.ndarray) -> tuple:
+    """Fit two [R|t] candidates assuming the sample is (near-)coplanar.
+
+    The 12-dim DLT in :func:`_fit_pose_dlt` is DEGENERATE for coplanar 3D
+    points: only the plane->image homography (8 DOF) is constrained, so the
+    null space is multi-dimensional and the recovered P is arbitrary. Real
+    OnePose objects can be near-planar (low-texture boxes) and the reference
+    backends (pycolmap P3P / OpenCV EPnP planar branch,
+    ``src/utils/metric_utils.py:121-204``) handle this case natively. Here:
+    build an orthonormal plane frame from the sample, fit the homography by
+    DLT in that frame, and decompose H -> [R|t] (Zhang/IPPE-style). The two
+    sign decompositions are both returned; RANSAC inlier counting and the
+    cheirality test in :func:`_reproj_errors` pick the right one.
+
+    Returns:
+        (R [2,3,3], t [2,3]) — the two candidate poses.
+    """
+    s = pts3d.shape[0]
+    c = jnp.mean(pts3d, axis=0)
+    M = pts3d - c  # [S, 3]
+    C = M.T @ M  # 3x3 scatter
+    # plane normal = smallest eigenvector (inverse iteration, reuses the
+    # unrolled Cholesky solver)
+    nrm = _smallest_eigvec(C)
+    nrm = nrm / (jnp.linalg.norm(nrm) + _EPS)
+    # in-plane basis: project the least-aligned axis onto the plane
+    trial = jnp.eye(3, dtype=pts3d.dtype)
+    align = jnp.abs(trial @ nrm)
+    e1 = trial[jnp.argmin(align)]
+    e1 = e1 - jnp.dot(e1, nrm) * nrm
+    e1 = e1 / (jnp.linalg.norm(e1) + _EPS)
+    e2 = jnp.cross(nrm, e1)
+
+    p = jnp.stack([M @ e1, M @ e2], axis=-1)  # [S, 2] plane coords
+    scale = jnp.sqrt(jnp.mean(jnp.sum(p * p, axis=-1)) + _EPS)
+    p = p / scale
+
+    ones = jnp.ones((s, 1), pts3d.dtype)
+    zeros3 = jnp.zeros((s, 3), pts3d.dtype)
+    P1 = jnp.concatenate([p, ones], axis=-1)  # [S, 3]
+    u = pts2dn[:, 0:1]
+    v = pts2dn[:, 1:2]
+    r0 = jnp.concatenate([P1, zeros3, -u * P1], axis=-1)  # [S, 9]
+    r1 = jnp.concatenate([zeros3, P1, -v * P1], axis=-1)
+    A = jnp.concatenate([r0, r1], axis=0)
+    H = _smallest_eigvec(A.T @ A).reshape(3, 3)  # plane' -> normalized img
+    # undo the plane-coordinate scaling (columns 0, 1 act on p/scale)
+    H = H.at[:, :2].multiply(1.0 / scale)
+
+    h1, h2, h3 = H[:, 0], H[:, 1], H[:, 2]
+    lam = 2.0 / (jnp.linalg.norm(h1) + jnp.linalg.norm(h2) + _EPS)
+    a1, a2, a3 = lam * h1, lam * h2, lam * h3
+
+    def decomp(s1, s2, s3):
+        r1_ = s1 / (jnp.linalg.norm(s1) + _EPS)
+        r2_ = s2 - jnp.dot(r1_, s2) * r1_
+        r2_ = r2_ / (jnp.linalg.norm(r2_) + _EPS)
+        r3_ = jnp.cross(r1_, r2_)
+        Q = jnp.stack([r1_, r2_, r3_], axis=1)  # R @ [e1 e2 n] = Q
+        B = jnp.stack([e1, e2, nrm], axis=1)  # world-plane basis
+        R = Q @ B.T
+        t = s3 - R @ c
+        return R, t
+
+    Rp, tp = decomp(a1, a2, a3)
+    Rm, tm = decomp(-a1, -a2, -a3)
+    return jnp.stack([Rp, Rm]), jnp.stack([tp, tm])
+
+
 def _reproj_errors(
     R: jnp.ndarray, t: jnp.ndarray, pts3d: jnp.ndarray, pts2dn: jnp.ndarray
 ) -> jnp.ndarray:
@@ -225,7 +294,12 @@ def _gauss_newton_refine(
 
 @partial(
     jax.jit,
-    static_argnames=("num_hypotheses", "sample_size", "refine_iters"),
+    static_argnames=(
+        "num_hypotheses",
+        "sample_size",
+        "refine_iters",
+        "planar_hypotheses",
+    ),
 )
 def ransac_pnp(
     pts3d: jnp.ndarray,
@@ -237,6 +311,7 @@ def ransac_pnp(
     num_hypotheses: int = 512,
     sample_size: int = 6,
     refine_iters: int = 10,
+    planar_hypotheses: bool = True,
 ) -> PnPResult:
     """RANSAC PnP for one frame with fixed-capacity correspondences.
 
@@ -284,6 +359,13 @@ def ransac_pnp(
 
     fit = jax.vmap(_fit_pose_dlt)
     Rh, th = fit(samp3d, samp2dn)  # [H, 3, 3], [H, 3]
+    if planar_hypotheses:
+        # coplanar samples make the 12-dim DLT degenerate — add the two
+        # homography-decomposition candidates per sample and let inlier
+        # counting arbitrate (3H candidates total)
+        Rpl, tpl = jax.vmap(_fit_pose_planar)(samp3d, samp2dn)  # [H,2,3,3]
+        Rh = jnp.concatenate([Rh, Rpl.reshape(-1, 3, 3)], axis=0)
+        th = jnp.concatenate([th, tpl.reshape(-1, 3)], axis=0)
 
     errs = _reproj_errors(Rh, th, pts3d[None], pts2dn[None])  # [H, N]
     inl = (errs <= thr2) & valid[None, :]
@@ -322,6 +404,7 @@ def ransac_pnp_batch(
     rng: jax.Array,
     reproj_threshold_px: float = 3.3,
     num_hypotheses: int = 512,
+    planar_hypotheses: bool = True,
 ) -> PnPResult:
     """vmapped RANSAC PnP over a frame batch: [B, N, ...] -> batched PnPResult."""
     keys = jax.random.split(rng, pts3d.shape[0])
@@ -334,5 +417,6 @@ def ransac_pnp_batch(
             key,
             reproj_threshold_px=reproj_threshold_px,
             num_hypotheses=num_hypotheses,
+            planar_hypotheses=planar_hypotheses,
         )
     )(pts3d, pts2d, K, valid, keys)

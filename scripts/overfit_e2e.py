@@ -36,38 +36,14 @@ from record_e2e import run_cli  # noqa: E402  (same CLI env handling)
 
 
 def build_object(data_dir, obj, seq_names, frames_per_seq, img, rng):
-    """Plane-homography render (same construction as record_e2e.py): all
-    sequences view one textured z=0 plane, cameras interleaved on the ring
-    so test views sit between training views."""
-    import cv2
-    from synthetic_scenes import make_scene
+    """Textured-cube render: sequences interleave camera-ring positions so
+    test views sit between training views. The cube replaces round 2's
+    single textured plane — that scene was doubly degenerate (all SfM points
+    coplanar -> planar PnP ambiguity; ring cameras at +/-90deg viewed the
+    plane edge-on), which is what zeroed every metrics.txt."""
+    from synthetic_scenes import make_cube_scene_object
 
-    n_total = frames_per_seq * len(seq_names)
-    K, _, Ts = make_scene(rng, n_views=n_total, n_pts=64, img=float(img))
-    blk = max(img // 32, 4)
-    tex = (np.kron(rng.random((64, 64)), np.ones((blk, blk))) * 255).astype(
-        np.uint8
-    )
-    S = np.array(
-        [[2 * img / 0.8, 0, img], [0, 2 * img / 0.8, img], [0, 0, 1.0]]
-    )
-    for s, seq in enumerate(seq_names):
-        seq_dir = os.path.join(data_dir, obj, seq)
-        for sub in ("color", "intrin_ba", "poses_ba"):
-            os.makedirs(os.path.join(seq_dir, sub), exist_ok=True)
-        for j in range(frames_per_seq):
-            i = j * len(seq_names) + s  # interleave seqs along the ring
-            R, t = Ts[i][:3, :3], Ts[i][:3, 3]
-            M = K @ np.stack([R[:, 0], R[:, 1], t], axis=1)
-            H = M @ np.linalg.inv(S)
-            im = cv2.warpPerspective(tex, H, (img, img))
-            cv2.imwrite(os.path.join(seq_dir, "color", f"{j}.png"), im)
-            np.savetxt(os.path.join(seq_dir, "intrin_ba", f"{j}.txt"), K)
-            np.savetxt(os.path.join(seq_dir, "poses_ba", f"{j}.txt"), Ts[i])
-    corners = np.array(
-        [[x, y, z] for z in (-0.3, 0.3) for y in (-0.3, 0.3) for x in (-0.3, 0.3)]
-    )
-    np.savetxt(os.path.join(data_dir, obj, "box3d_corners.txt"), corners)
+    make_cube_scene_object(data_dir, obj, seq_names, frames_per_seq, img, rng)
 
 
 def main():

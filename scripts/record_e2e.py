@@ -48,14 +48,20 @@ def run_cli(script, args, tpu=False):
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     print(f"== {script} {' '.join(args)}", flush=True)
-    r = subprocess.run(
-        [sys.executable, script] + args, cwd=REPO, env=env, text=True,
-        capture_output=True, timeout=3600,
+    # stream stage output to a log file so long stages are observable live
+    log_path = os.path.join(
+        env.get("E2E_LOG_DIR", "/tmp"), f"e2e_{os.path.basename(script)}.log"
     )
+    with open(log_path, "w") as lf:
+        r = subprocess.run(
+            [sys.executable, script] + args, cwd=REPO, env=env, text=True,
+            stdout=lf, stderr=subprocess.STDOUT, timeout=3600,
+        )
+    r.stdout = open(log_path).read()
+    r.stderr = ""
     if r.returncode != 0:
         print(r.stdout[-4000:])
-        print(r.stderr[-4000:])
-        raise SystemExit(f"{script} failed rc={r.returncode}")
+        raise SystemExit(f"{script} failed rc={r.returncode} (log: {log_path})")
     return r
 
 

@@ -179,6 +179,37 @@ class TestPnP:
         for b in range(B):
             assert np.abs(np.asarray(res.R[b]) - Ts[b][:3, :3]).max() < 5e-3
 
+    def test_planar_point_cloud(self):
+        """Coplanar 3D points (flat/low-texture objects; the overfit-e2e
+        texture plane) make the 12-dim DLT degenerate — the homography
+        hypotheses (_fit_pose_planar) must recover the pose. This pinned the
+        round-2 all-zero metrics: every SfM point of the plane scene is on
+        z=0 and the DLT-only RANSAC returned ~172deg rotations."""
+        rng = np.random.default_rng(3)
+        K, _, Ts = make_scene(rng, n_views=6, n_pts=8, img=128.0)
+        pts = np.zeros((148, 3))
+        pts[:, :2] = rng.uniform(-0.35, 0.35, (148, 2))
+        for i in (0, 3, 5):
+            T = Ts[i]
+            uv, z = project_np(K, T, pts)
+            uv += rng.normal(0, 0.5, uv.shape)
+            vis = (z > 0.1) & (np.abs(uv - 64).max(axis=1) < 64)
+            res = ransac_pnp(
+                jnp.asarray(pts, jnp.float32),
+                jnp.asarray(uv, jnp.float32),
+                jnp.asarray(K, jnp.float32),
+                jnp.asarray(vis),
+                jax.random.PRNGKey(i),
+                reproj_threshold_px=3.3,
+                num_hypotheses=128,
+            )
+            assert bool(res.ok)
+            dR = np.asarray(res.R) @ T[:3, :3].T
+            ang = np.rad2deg(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+            assert ang < 2.0, f"view {i}: rotation error {ang} deg"
+            assert np.linalg.norm(np.asarray(res.t) - T[:3, 3]) < 0.05
+            assert int(res.num_inliers) > 0.8 * vis.sum()
+
     @pytest.mark.slow
     def test_degenerate_returns_not_ok(self):
         n = 16
