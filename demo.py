@@ -148,7 +148,11 @@ def inference(cfg) -> None:
         num_hypotheses=cfg.demo.num_hypotheses,
     )
 
-    out_dir = os.path.join("demo_frames", obj_name)
+    # untracked output location (ADVICE r2: demo runs kept dirtying tracked
+    # demo_frames/; override with demo.frames_dir)
+    out_dir = cfg.get_path("demo.frames_dir") or os.path.join(
+        "artifacts", "demo", obj_name
+    )
     frame_paths = []
     pose_prev, inliers_prev = None, 0
     rng = jax.random.PRNGKey(0)

@@ -25,7 +25,6 @@ import flax.linen as nn
 from ..config import TransformerConfig
 from ..ops.attention import linear_attention, full_attention
 from ..ops.pallas_encoder import fused_encoder_layer
-from ..ops.pallas_short_encoder import fused_short_encoder_layer
 
 
 class _DenseKernel(nn.Module):
@@ -86,17 +85,6 @@ class LoFTREncoderLayer(nn.Module):
             w0 = _DenseKernel(2 * d, 2 * d, name="mlp_0")()
             w1 = _DenseKernel(2 * d, d, name="mlp_1")()
             s2, b2 = _LayerNormParams(d, name="norm2")()
-            if (
-                max(l, source.shape[1]) <= 32
-                and x_mask is None
-                and source_mask is None
-            ):
-                # batched-short-sequence regime (the fine stage's 25-token
-                # windows): quadratic-form kernel, one grid pass
-                return fused_short_encoder_layer(
-                    x, source, wq, wk, wv, wm, s1, b1, w0, w1, s2, b2,
-                    nhead=self.nhead,
-                ).astype(jnp.promote_types(x.dtype, jnp.float32))
             return fused_encoder_layer(
                 x, source, wq, wk, wv, wm, s1, b1, w0, w1, s2, b2,
                 x_mask=x_mask, source_mask=source_mask, nhead=self.nhead,
@@ -181,11 +169,10 @@ class LocalFeatureTransformer(nn.Module):
         if fused is None:
             # auto: TPU inference with long sequences only (KV-state
             # streaming kernels, 512-row tiles). Short batched sequences
-            # (the fine stage's 25-token windows) STAY on XLA: the
-            # quadratic-form short-seq kernel (ops/pallas_short_encoder.py,
-            # explicit fused_encoder=True) measured 23.4 ms vs XLA's 8.9 ms
-            # for the full fine transformer at [24576, 25, 128] on v5e —
-            # ~12k Pallas grid steps of launch overhead swamp the fusion win.
+            # (the fine stage's 25-token windows) STAY on XLA: a fused
+            # short-seq kernel measured 23.4 ms vs XLA's 8.9 ms for the full
+            # fine transformer at [24576, 25, 128] on v5e — grid launch
+            # overhead swamps the fusion win (experiments/pallas_short_encoder.py).
             fused = (
                 not train
                 and self.cfg.attention == "linear"

@@ -219,21 +219,3 @@ def test_sparse_fine_fpn_parity_compiled():
     assert err < 0.05 * scale, f"sparse fine FPN diverges: {err} vs scale {scale}"
 
 
-@pytest.mark.parametrize("l,s", [(25, 25), (1, 25), (25, 1), (1, 1)])
-def test_short_encoder_parity_compiled(l, s):
-    """Batched-short-seq fused encoder vs XLA at the fine stage's production
-    scale (M = 48*512 sequences) for every (L, S) the fine transformer
-    produces."""
-    from onepose_plus_plus_tpu.models.transformer import LoFTREncoderLayer
-
-    rng = np.random.default_rng(5)
-    m, c = 48 * 512, 128
-    x = jnp.asarray(rng.standard_normal((m, l, c)) * 0.5, jnp.float32)
-    src = jnp.asarray(rng.standard_normal((m, s, c)) * 0.5, jnp.float32)
-    layer = LoFTREncoderLayer(d_model=c, nhead=8)
-    v = jax.jit(lambda r: layer.init(r, x, src))(jax.random.PRNGKey(0))
-    y_fused = jax.jit(lambda a, b: layer.apply(v, a, b, fused=True))(x, src)
-    y_xla = jax.jit(lambda a, b: layer.apply(v, a, b, fused=False))(x, src)
-    err = float(jnp.max(jnp.abs(y_fused - y_xla)))
-    scale = float(jnp.max(jnp.abs(y_xla)))
-    assert err < 0.05 * scale, f"short encoder diverges: maxerr={err} scale={scale}"
