@@ -28,10 +28,16 @@ from onepose_plus_plus_tpu.inference.pipeline import make_query_step
 from onepose_plus_plus_tpu.models.onepose_plus import OnePosePlusModel
 
 # Reference operational envelope: per-frame forward + RANSAC PnP on one GPU via
-# two fractional-GPU Ray workers. No FPS is published in-tree (BASELINE.md);
-# 20 FPS is the working estimate for a modern GPU on this pipeline until the
-# reference is benchmarked, recorded here so vs_baseline is well-defined.
-REFERENCE_FPS = 20.0
+# two fractional-GPU Ray workers. No FPS is published in-tree, so the
+# denominator is the DERIVED UPPER BOUND from scripts/derive_reference_fps.py
+# (committed artifacts/reference_fps.json): the unmodified reference torch
+# forward is 358.7 GFLOP at the 512^2 x 7000 inference shape (measured with
+# torch.profiler via the reference_stubs import shims); on the most favorable
+# reference-era GPU corner (RTX 3090 at 45% fp32 utilization, full host/GPU
+# overlap of the serial pycolmap PnP) that caps at 41 FPS. Realistic
+# envelopes are 5.5-28 FPS (2080Ti at 15-45%, 3090 at 15-30%), so
+# vs_baseline below is a LOWER bound on the true speedup.
+REFERENCE_FPS = 41.0
 
 BATCH = 48  # best poses/sec/chip in the 16-48 sweep
 IMG = 512

@@ -50,8 +50,9 @@ def gather_windows_aligned(
         grid_hw: (h_c, w_c) coarse grid shape.
         stride: fine pixels per coarse cell (h_f // h_c).
         window: odd window size W.
-        train: True routes the selection through the differentiable XLA
-            one-hot matmul (the Pallas kernel is forward-only).
+        train: True routes the selection through the custom-VJP gather
+            kernel (register one-hot both directions); non-TPU/f32 falls
+            back to the differentiable XLA one-hot matmul.
     Returns:
         [N, K, W*W, C] windows; taps outside the map are zero.
     """
@@ -105,12 +106,17 @@ def gather_windows_aligned(
             flat = (ci + br) * wp + (cj + bc)
             flats.append(jnp.where(in_range, flat, -1))  # one_hot(-1) -> zero
     flat_all = jnp.stack(flats, axis=1).reshape(n, nb * nb * k)
-    if not train and jax.default_backend() == "tpu" and s2d.dtype == jnp.bfloat16:
+    if jax.default_backend() == "tpu" and s2d.dtype == jnp.bfloat16:
         # fused kernel: the one-hot tiles are generated in registers instead
-        # of materializing an [N, nb^2*K, hp*wp] factor in HBM
-        from .pallas_gather import take_rows_mxu
+        # of materializing an [N, nb^2*K, hp*wp] factor in HBM; the train
+        # path uses the custom-VJP wrapper whose backward is the register
+        # one-hot scatter kernel (same HBM-traffic collapse both directions)
+        from .pallas_gather import take_rows_mxu, take_rows_mxu_grad
 
-        blk_all = take_rows_mxu(s2d, flat_all, tile_m=rows_per_tile * wp)
+        if train:
+            blk_all = take_rows_mxu_grad(s2d, flat_all, rows_per_tile * wp)
+        else:
+            blk_all = take_rows_mxu(s2d, flat_all, tile_m=rows_per_tile * wp)
     else:
         onehot = jax.nn.one_hot(flat_all, hp * wp, dtype=dt)
         # HIGHEST so the f32 path stays a bit-exact copy on TPU (default

@@ -144,3 +144,67 @@ def test_take_rows_mxu_kernel_exact():
         np.testing.assert_array_equal(
             np.asarray(out.astype(jnp.float32)), ref
         )
+
+
+def test_scatter_rows_mxu_kernel_exact():
+    """Transpose kernel (interpret mode): scatter-add with duplicate ids,
+    out-of-range ids dropped, non-tile-multiple shapes."""
+    import numpy as np
+    from onepose_plus_plus_tpu.ops.pallas_gather import scatter_rows_mxu
+
+    rng = np.random.default_rng(2)
+    m, k, g = 300, 40, 130
+    grad = rng.standard_normal((2, k, g)).astype(np.float32)
+    grad = np.asarray(jnp.asarray(grad).astype(jnp.bfloat16).astype(jnp.float32))
+    ids = rng.integers(0, m, (2, k)).astype(np.int32)
+    ids[:, 1] = ids[:, 0]  # duplicate -> accumulate
+    ids[:, -2] = -1
+    ids[:, -1] = m + 5
+    out = scatter_rows_mxu(
+        jnp.asarray(grad, jnp.float32),
+        jnp.asarray(ids),
+        m,
+        interpret=True,
+        tile_k=16,
+        tile_m=128,
+        tile_g=128,
+    )
+    ref = np.zeros((2, m, g), np.float32)
+    for b in range(2):
+        for kk in range(k):
+            if 0 <= ids[b, kk] < m:
+                ref[b, ids[b, kk]] += grad[b, kk]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_take_rows_mxu_grad_matches_xla():
+    """custom_vjp of the gather kernel == VJP of the XLA one-hot matmul
+    (the train-path route in gather_windows_aligned)."""
+    import numpy as np
+    from onepose_plus_plus_tpu.ops.pallas_gather import take_rows_mxu_grad
+
+    rng = np.random.default_rng(3)
+    m, k, g = 256, 24, 128
+    vals = jnp.asarray(
+        rng.standard_normal((2, m, g)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, m, (2, k)).astype(np.int32))
+    cot = jnp.asarray(rng.standard_normal((2, k, g)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    def xla_path(v):
+        onehot = jax.nn.one_hot(ids, m, dtype=jnp.bfloat16)
+        return jax.lax.dot_general(
+            onehot, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
+
+    out_k, vjp_k = jax.vjp(lambda v: take_rows_mxu_grad(v, ids, 128), vals)
+    out_x, vjp_x = jax.vjp(xla_path, vals)
+    np.testing.assert_allclose(
+        np.asarray(out_k, np.float32), np.asarray(out_x, np.float32), atol=1e-2
+    )
+    gk = np.asarray(vjp_k(cot)[0], np.float32)
+    gx = np.asarray(vjp_x(cot)[0], np.float32)
+    np.testing.assert_allclose(gk, gx, atol=1e-2)

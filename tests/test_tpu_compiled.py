@@ -160,6 +160,35 @@ def test_gather_parity_compiled():
     )
 
 
+def test_scatter_grad_parity_compiled():
+    """custom_vjp backward (register one-hot scatter kernel) vs the XLA
+    one-hot transpose at the train-path fine-gather shapes."""
+    from onepose_plus_plus_tpu.ops.pallas_gather import take_rows_mxu_grad
+
+    rng = np.random.default_rng(4)
+    b, m, k, g = 4, 4356, 9 * 1428, 512
+    vals = jnp.asarray(rng.standard_normal((b, m, g)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(-1, m, (b, k)), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((b, k, g)), jnp.bfloat16)
+
+    def xla_path(v):
+        onehot = jax.nn.one_hot(ids, m, dtype=jnp.bfloat16)
+        return jax.lax.dot_general(
+            onehot, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
+
+    out_k, vjp_k = jax.vjp(lambda v: take_rows_mxu_grad(v, ids, 1024), vals)
+    out_x, vjp_x = jax.vjp(xla_path, vals)
+    np.testing.assert_array_equal(
+        np.asarray(out_k.astype(jnp.float32)), np.asarray(out_x.astype(jnp.float32))
+    )
+    gk = np.asarray(vjp_k(cot)[0].astype(jnp.float32))
+    gx = np.asarray(vjp_x(cot)[0].astype(jnp.float32))
+    scale = max(np.abs(gx).max(), 1e-6)
+    assert np.abs(gk - gx).max() < 0.02 * scale
+
+
 @pytest.mark.parametrize("window,c", [(5, 128), (9, 196)])
 def test_patch_gather_parity_compiled(window, c):
     """DMA patch gather vs the XLA generic gather at production scale."""
