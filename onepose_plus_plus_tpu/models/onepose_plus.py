@@ -120,23 +120,30 @@ class OnePosePlusModel(nn.Module):
             if train
             else cfg.coarse_matching.max_matches
         )
-        # fused streaming kernel (never materializes [L, S]) at inference on
-        # TPU; the XLA conf-matrix path at training (losses need the matrix)
+        # fused streaming kernels (never materialize [L, S]) on TPU: selection
+        # for both modes, and at training the losses consume the coarse
+        # features directly through the fused focal-loss VJP kernels
+        # (ops.pallas_coarse_loss) instead of a materialized conf matrix
         use_fused = cfg.coarse_matching.use_fused_kernel
         if use_fused is None:
-            use_fused = (not train) and jax.default_backend() == "tpu"
+            use_fused = jax.default_backend() == "tpu"
         conf = None
-        if use_fused and not train:
+        if use_fused:
             from ..ops.pallas_matching import fused_select_topk_matches
 
+            # selection is index-only (no gradient path in training — the
+            # coarse loss differentiates through ops.pallas_coarse_loss, and
+            # mconf feeds nothing differentiable); detaching the inputs keeps
+            # autodiff's linearization out of the VJP-less selection kernels
             matches = fused_select_topk_matches(
-                desc3d_c,
-                feat_query_c,
+                jax.lax.stop_gradient(desc3d_c),
+                jax.lax.stop_gradient(feat_query_c),
                 cfg.coarse_matching.temperature,
                 (h_c, w_c),
                 cfg.coarse_matching.thr,
                 cfg.coarse_matching.border_rm,
-                k_slots,
+                k_slots
+                - (cfg.coarse_matching.train_pad_num_gt_min if train else 0),
                 border_two_sided=cfg.coarse_matching.border_two_sided,
                 feat_norm=cfg.coarse_matching.feat_norm_method,
                 col_mask=query_mask,
@@ -190,6 +197,19 @@ class OnePosePlusModel(nn.Module):
         }
         if conf is not None:
             out["conf_matrix"] = conf
+        elif train:
+            # fused-loss context: losses.compute_losses routes the coarse
+            # focal loss through the streaming VJP kernels on these features
+            if query_mask is not None:
+                raise ValueError(
+                    "query_image_mask is unsupported on the fused train path "
+                    "(set coarse_matching.use_fused_kernel=False)"
+                )
+            out["coarse_loss_ctx"] = {
+                "feats": (desc3d_c, feat_query_c),
+                "temperature": cfg.coarse_matching.temperature,
+                "feat_norm": cfg.coarse_matching.feat_norm_method,
+            }
 
         if not cfg.fine.enable:
             out["mkpts_query_f"] = mkpts_query_c

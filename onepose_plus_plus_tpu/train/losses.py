@@ -165,9 +165,32 @@ def compute_losses(
     keys ``gt_cell`` [N, L], ``gt_fine_xy`` [N, L, 2]; optional
     ``query_image_scale``.
     """
-    loss_c = coarse_focal_loss(
-        out["conf_matrix"], batch["gt_cell"], cfg, c_weight=batch.get("c_weight")
-    )
+    if "conf_matrix" in out:
+        loss_c = coarse_focal_loss(
+            out["conf_matrix"], batch["gt_cell"], cfg,
+            c_weight=batch.get("c_weight"),
+        )
+        max_conf = jnp.max(out["conf_matrix"])
+    else:
+        # fused TPU train path: the model hands over the coarse features and
+        # the streaming focal-loss kernels never materialize [L, S]
+        from ..ops.pallas_coarse_loss import fused_coarse_focal_loss
+
+        if batch.get("c_weight") is not None:
+            raise ValueError("c_weight unsupported on the fused coarse loss")
+        ctx = out["coarse_loss_ctx"]
+        f0, f1 = ctx["feats"]
+        loss_c, max_conf = fused_coarse_focal_loss(
+            f0,
+            f1,
+            batch["gt_cell"],
+            ctx["temperature"],
+            cfg.focal_alpha,
+            cfg.focal_gamma,
+            cfg.pos_weight,
+            cfg.neg_weight,
+            feat_norm=ctx["feat_norm"],
+        )
     loss = loss_c * cfg.coarse_weight
     scalars = {"loss_c": loss_c}
     if "expec_f" in out:
@@ -190,5 +213,5 @@ def compute_losses(
     scalars["loss"] = loss
     # reference logs `train/max conf_matrix` every log interval
     # (OnePosePlus_lightning_model.py:70-72)
-    scalars["max_conf"] = jnp.max(out["conf_matrix"])
+    scalars["max_conf"] = max_conf
     return loss, scalars

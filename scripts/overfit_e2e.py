@@ -146,6 +146,7 @@ def main():
         ]
         + model_ov,
         tpu=tpu,
+        timeout=6 * 3600,  # the 128px/80-epoch CPU training runs ~2h
     )
     weights = os.path.join(ckpt_dir, exp, "last")
     run_cli(
@@ -171,6 +172,10 @@ def main():
     art = os.path.join(REPO, "artifacts", "overfit_e2e_tpu" if tpu else "overfit_e2e")
     os.makedirs(art, exist_ok=True)
     shutil.copy(os.path.join(out_dir, "metrics.txt"), os.path.join(art, "metrics.txt"))
+    import glob
+
+    for ej in glob.glob(os.path.join(out_dir, "errors_*.json")):
+        shutil.copy(ej, os.path.join(art, os.path.basename(ej)))
     metrics = open(os.path.join(out_dir, "metrics.txt")).read()
     meta = {
         "hardware": "TPU v5e (1 chip, axon tunnel), bf16"

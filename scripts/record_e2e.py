@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
-def run_cli(script, args, tpu=False):
+def run_cli(script, args, tpu=False, timeout=3600):
     env = dict(os.environ)
     if not tpu:
         env["JAX_PLATFORMS"] = "cpu"
@@ -55,7 +55,7 @@ def run_cli(script, args, tpu=False):
     with open(log_path, "w") as lf:
         r = subprocess.run(
             [sys.executable, script] + args, cwd=REPO, env=env, text=True,
-            stdout=lf, stderr=subprocess.STDOUT, timeout=3600,
+            stdout=lf, stderr=subprocess.STDOUT, timeout=timeout,
         )
     r.stdout = open(log_path).read()
     r.stderr = ""

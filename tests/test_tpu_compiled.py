@@ -248,3 +248,55 @@ def test_sparse_fine_fpn_parity_compiled():
     assert err < 0.05 * scale, f"sparse fine FPN diverges: {err} vs scale {scale}"
 
 
+
+
+def test_fused_coarse_loss_parity_compiled():
+    """Compiled fused focal loss + VJP vs the XLA reference at the train
+    config shape (P=7000, L=4096, C=256) — value AND gradient direction.
+
+    The XLA reference consumes the same bf16-rounded features the kernels
+    see, isolating Mosaic compilation from dtype rounding (the round-2
+    failure mode: interpret-parity green, compiled silently wrong)."""
+    from onepose_plus_plus_tpu.ops.matching import dual_softmax_confidence
+    from onepose_plus_plus_tpu.ops.pallas_coarse_loss import (
+        fused_coarse_focal_loss,
+    )
+    from onepose_plus_plus_tpu.train.losses import LossConfig, coarse_focal_loss
+
+    cfg = LossConfig()
+    t = 0.08
+    p, l, c = 7000, 4096, 256
+    f0, f1 = _feats(p, l, c)
+    rng = np.random.default_rng(2)
+    gt = jnp.asarray(
+        np.where(
+            rng.random((1, p)) < 0.1, rng.integers(0, l, (1, p)), -1
+        ).astype(np.int32)
+    )
+    scale = 1.0 / (c**0.5)
+
+    def ref_fn(a, b):
+        conf = dual_softmax_confidence(
+            (a * scale).astype(jnp.bfloat16).astype(jnp.float32),
+            (b * scale).astype(jnp.bfloat16).astype(jnp.float32),
+            t,
+            feat_norm="none",
+        )
+        return coarse_focal_loss(conf, gt, cfg)
+
+    def fused_fn(a, b):
+        return fused_coarse_focal_loss(
+            a, b, gt, t, cfg.focal_alpha, cfg.focal_gamma,
+            cfg.pos_weight, cfg.neg_weight,
+        )[0]
+
+    ref, g_ref = jax.jit(jax.value_and_grad(ref_fn, argnums=(0, 1)))(f0, f1)
+    got, g_fused = jax.jit(jax.value_and_grad(fused_fn, argnums=(0, 1)))(f0, f1)
+    np.testing.assert_allclose(float(got), float(ref), rtol=5e-4)
+    for gr, gf in zip(g_ref, g_fused):
+        gr, gf = np.asarray(gr), np.asarray(gf)
+        s = np.abs(gr).max()
+        assert s > 0
+        assert np.abs(gf - gr).max() < 3e-2 * s
+        cos = (gr * gf).sum() / (np.linalg.norm(gr) * np.linalg.norm(gf) + 1e-12)
+        assert cos > 0.999

@@ -161,6 +161,72 @@ def test_train_step_runs_and_decreases_loss():
 
 
 @pytest.mark.slow
+def test_train_step_fused_coarse_path():
+    """Fused train path (streaming selection + focal-loss VJP kernels,
+    interpret mode on CPU): same params as the XLA path, loss_c agrees to
+    bf16-similarity tolerance, and the loss decreases over steps."""
+    import dataclasses
+    import functools
+
+    from onepose_plus_plus_tpu.models.onepose_plus import OnePosePlusModel
+    from onepose_plus_plus_tpu.train.train_step import (
+        TrainConfig,
+        create_train_state,
+        train_step,
+    )
+
+    rng_np = np.random.default_rng(4)
+    n, img, l = 2, 64, 32
+    s = (img // 8) ** 2
+    batch = {
+        "query_image": jnp.asarray(rng_np.random((n, img, img, 1), np.float32)),
+        "keypoints3d": jnp.asarray(
+            rng_np.standard_normal((n, l, 3)).astype(np.float32)
+        ),
+        "descriptors3d": jnp.asarray(
+            rng_np.standard_normal((n, l, 128)).astype(np.float32)
+        ),
+        "descriptors3d_coarse": jnp.asarray(
+            rng_np.standard_normal((n, l, 256)).astype(np.float32)
+        ),
+        "gt_cell": jnp.asarray(rng_np.integers(-1, s, (n, l)).astype(np.int32)),
+        "gt_fine_xy": jnp.asarray(
+            (rng_np.random((n, l, 2)) * (img - 1)).astype(np.float32)
+        ),
+    }
+    tc = TrainConfig()
+    cfg = _tiny_cfg()
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), cfg, tc, batch, world_batch_size=n
+    )
+    fused_cfg = dataclasses.replace(
+        cfg,
+        coarse_matching=dataclasses.replace(
+            cfg.coarse_matching, use_fused_kernel=True
+        ),
+    )
+    fused_model = OnePosePlusModel(fused_cfg)  # same param tree
+
+    step_xla = jax.jit(functools.partial(train_step, model, train_cfg=tc))
+    step_fused = jax.jit(functools.partial(train_step, fused_model, train_cfg=tc))
+
+    _, sc_xla = step_xla(state, batch, jax.random.PRNGKey(2))
+    fstate, sc_fused = step_fused(state, batch, jax.random.PRNGKey(2))
+    assert float(sc_fused["loss_c"]) == pytest.approx(
+        float(sc_xla["loss_c"]), rel=0.15
+    )
+    assert float(sc_fused["max_conf"]) == pytest.approx(
+        float(sc_xla["max_conf"]), rel=0.15
+    )
+    losses = [float(sc_fused["loss"])]
+    for _ in range(2):
+        fstate, sc = step_fused(fstate, batch, jax.random.PRNGKey(2))
+        losses.append(float(sc["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
 def test_train_state_resume_roundtrip(tmp_path):
     """Full-state save/restore continues the run identically: restoring
     params+opt_state+step into a fresh state and stepping once matches
