@@ -36,14 +36,26 @@ def save_checkpoint(path: str, tree: Any) -> None:
 
 
 def load_checkpoint(path: str, target: Any = None) -> Any:
-    """Load a pytree; ``target`` (same structure) restores concrete dtypes."""
+    """Load a pytree; ``target`` (same structure) restores concrete dtypes.
+
+    Without ``target`` the tree is restored as host numpy arrays: orbax
+    records the saving process's device shardings, and a bare restore fails
+    whenever the loading process has a different topology (e.g. a checkpoint
+    written on an 8-virtual-device CPU mesh loaded on the single real chip).
+    """
+    import jax
+    import numpy as np
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
         return ckptr.restore(path, item=target)
-    return ckptr.restore(path)
+    meta = ckptr.metadata(path).item_metadata
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+    )
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 def save_train_state(path: str, state: Any, epoch: int) -> None:

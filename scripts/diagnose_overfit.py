@@ -49,7 +49,12 @@ def main():
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     import jax
+
+    # jax is pre-imported by the environment's sitecustomize (axon TPU
+    # platform); rebind to CPU on the live config or ops block on the tunnel
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from onepose_plus_plus_tpu.data.dataset import OnePosePlusInferenceDataset

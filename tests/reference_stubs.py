@@ -180,7 +180,7 @@ REF_ONEPOSE_CONFIG = {
 }
 
 
-def build_reference_onepose_model(seed: int = 0):
+def build_reference_onepose_model(seed: int = 0, config: dict | None = None):
     """Instantiate the unmodified reference torch model (random init, eval)."""
     install_reference_stubs()
     import torch
@@ -188,6 +188,6 @@ def build_reference_onepose_model(seed: int = 0):
     from src.models.OnePosePlus.OnePosePlusModel import OnePosePlus_model
 
     torch.manual_seed(seed)
-    model = OnePosePlus_model(REF_ONEPOSE_CONFIG)
+    model = OnePosePlus_model(config or REF_ONEPOSE_CONFIG)
     model.eval()
     return model
