@@ -52,6 +52,16 @@ def main():
     ap.add_argument("--img", type=int, default=None)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--shape3d",
+        type=int,
+        default=None,
+        help="matcher point-cloud capacity (CPU default 128: the 24-frame "
+        "128px cube SfM yields ~60 points, so 512 slots were ~88%% random "
+        "fake-point padding diluting the dual-softmax — fewer slots = "
+        "denser supervision and ~2x faster steps)",
+    )
+    ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument(
         "--no-warp-adapt",
@@ -64,7 +74,7 @@ def main():
     tpu = args.tpu
     frames = args.frames_per_seq or (24 if tpu else 24)
     img = args.img or (512 if tpu else 128)
-    epochs = args.epochs or (150 if tpu else 80)
+    epochs = args.epochs or (150 if tpu else 200)
     workdir = args.workdir or ("/tmp/overfit_e2e_tpu" if tpu else "/tmp/overfit_e2e")
 
     obj = "0001-toy-box"
@@ -90,7 +100,8 @@ def main():
             "model.compute_dtype=float32",
         ]
     )
-    shape3d = 7000 if tpu else 512
+    shape3d = args.shape3d or (7000 if tpu else 128)
+    lr = args.lr or (None if tpu else 1e-3)
     thr_ov = "model.match_coarse.thr=1e-4"  # trained conf: modest threshold
 
     run_cli(
@@ -140,7 +151,7 @@ def main():
             # overfit: constant LR (no decay milestones inside the budget);
             # CPU prototype runs hotter to converge inside the wall budget
             "trainer.milestones=[1000]",
-            *([] if tpu else ["trainer.canonical_lr=4e-4"]),
+            *([f"trainer.canonical_lr={lr}"] if lr else []),
             f"ckpt_dir={ckpt_dir}",
             f"log_dir={os.path.join(workdir, 'logs')}",
         ]
