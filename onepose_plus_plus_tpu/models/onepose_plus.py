@@ -126,6 +126,10 @@ class OnePosePlusModel(nn.Module):
         # (ops.pallas_coarse_loss) instead of a materialized conf matrix
         use_fused = cfg.coarse_matching.use_fused_kernel
         if use_fused is None:
+            # both modes: inference selection AND the fused TRAIN path
+            # (streaming selection + focal-loss VJP kernels) — gradient parity
+            # is pinned compiled-on-chip by
+            # test_tpu_compiled.py::test_fused_coarse_loss_parity_compiled
             use_fused = jax.default_backend() == "tpu"
         conf = None
         if use_fused:

@@ -378,8 +378,11 @@ def _core_bwd(inv_temp, alpha, gamma, r_tile, l_tile, interpret, res, cts):
         (b, 1, 2),
     )
     row_feat, col_feat, rvec, cvec = _specs(b, p_pad, l_pad, c, r_tile)
+    # scalars ride SMEM — a (1, 1, 2) VMEM tile is far below the minimum
+    # (8, 128) lane tile and is exactly the odd-layout class Mosaic has
+    # miscompiled before (round-2 1D-relayout bug family)
     coefspec = pl.BlockSpec(
-        (1, 1, 2), lambda bi, pt: (bi, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, 2), lambda bi, pt: (bi, 0, 0), memory_space=pltpu.SMEM
     )
     grid = (b, p_pad // r_tile)
     kw = dict(l_tile=l_tile, inv_temp=inv_temp, alpha=alpha, gamma=gamma)

@@ -24,3 +24,12 @@ import jax
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
+
+# jax is pre-imported by the environment's sitecustomize, so the env vars
+# above arrive too late for the in-process backend — set the persistent
+# compile cache on the live config (repeat suite runs then skip XLA compiles,
+# the bulk of the fast selection's wall time)
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -266,7 +266,13 @@ def test_fused_coarse_loss_parity_compiled():
     cfg = LossConfig()
     t = 0.08
     p, l, c = 7000, 4096, 256
-    f0, f1 = _feats(p, l, c)
+    # diffuse features, NOT _feats: planted matches saturate the dual softmax
+    # (conf clipped at both ends -> ~zero gradient everywhere) and the grad
+    # comparison degenerates to noise-vs-noise (cos ~0.45 at |g| ~ 1e-11
+    # on every backend pair, including CPU-vs-CPU)
+    rng = np.random.default_rng(0)
+    f0 = jnp.asarray(rng.standard_normal((1, p, c)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((1, l, c)).astype(np.float32))
     rng = np.random.default_rng(2)
     gt = jnp.asarray(
         np.where(
@@ -296,7 +302,8 @@ def test_fused_coarse_loss_parity_compiled():
     for gr, gf in zip(g_ref, g_fused):
         gr, gf = np.asarray(gr), np.asarray(gf)
         s = np.abs(gr).max()
-        assert s > 0
+        # guard against a saturated/degenerate comparison (see above)
+        assert s > 1e-8, f"reference gradient vanished (|g|max={s}) — bad inputs"
         assert np.abs(gf - gr).max() < 3e-2 * s
         cos = (gr * gf).sum() / (np.linalg.norm(gr) * np.linalg.norm(gf) + 1e-12)
         assert cos > 0.999
