@@ -36,6 +36,7 @@ import flax.linen as nn
 from ..config import OnePosePlusConfig
 from ..ops.matching import (
     dual_softmax_confidence,
+    dual_softmax_log_confidence,
     select_topk_matches,
     pad_matches_with_gt,
 )
@@ -153,13 +154,26 @@ class OnePosePlusModel(nn.Module):
                 col_mask=query_mask,
             )
         else:
-            conf = dual_softmax_confidence(
-                desc3d_c,
-                feat_query_c,
-                cfg.coarse_matching.temperature,
-                mask1=query_mask,
-                feat_norm=cfg.coarse_matching.feat_norm_method,
-            )
+            log_conf = None
+            if train:
+                # the loss consumes the stable log-confidence (see
+                # LossConfig.log_space — the clamped form has no gradient at
+                # diffuse confidences)
+                conf, log_conf = dual_softmax_log_confidence(
+                    desc3d_c,
+                    feat_query_c,
+                    cfg.coarse_matching.temperature,
+                    mask1=query_mask,
+                    feat_norm=cfg.coarse_matching.feat_norm_method,
+                )
+            else:
+                conf = dual_softmax_confidence(
+                    desc3d_c,
+                    feat_query_c,
+                    cfg.coarse_matching.temperature,
+                    mask1=query_mask,
+                    feat_norm=cfg.coarse_matching.feat_norm_method,
+                )
             matches = select_topk_matches(
                 conf,
                 (h_c, w_c),
@@ -201,6 +215,8 @@ class OnePosePlusModel(nn.Module):
         }
         if conf is not None:
             out["conf_matrix"] = conf
+            if train and log_conf is not None:
+                out["log_conf_matrix"] = log_conf
         elif train:
             # fused-loss context: losses.compute_losses routes the coarse
             # focal loss through the streaming VJP kernels on these features

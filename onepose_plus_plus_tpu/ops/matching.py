@@ -60,6 +60,42 @@ def dual_softmax_confidence(
     return jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=2)
 
 
+def dual_softmax_log_confidence(
+    feat0: jnp.ndarray,
+    feat1: jnp.ndarray,
+    temperature: float,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+    feat_norm: str = "sqrt_feat_dim",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(conf, log_conf): ``dual_softmax_confidence`` plus its stable log.
+
+    ``log_conf = log_softmax(sim, 1) + log_softmax(sim, 2)`` stays finite (and
+    differentiable with bounded gradients w.r.t. the similarity logits) even
+    where the softmax *product* underflows f32 — the regime in which the
+    clamped reference focal loss (``src/lightning_model/losses.py:26-35``,
+    ``torch.clamp(conf, 1e-6, ...)``) loses its positive-term gradient.
+    Used by the log-space coarse loss (``train.losses.coarse_focal_loss``).
+    """
+    feat0 = feat0.astype(jnp.float32)
+    feat1 = feat1.astype(jnp.float32)
+    if feat_norm == "sqrt_feat_dim":
+        scale = 1.0 / (feat0.shape[-1] ** 0.5)
+        feat0 = feat0 * scale
+        feat1 = feat1 * scale
+    elif feat_norm not in ("none", None):
+        raise ValueError(f"unknown feat_norm {feat_norm}")
+    sim = jnp.einsum("nlc,nsc->nls", feat0, feat1) / (temperature + 1e-4)
+    if mask0 is not None or mask1 is not None:
+        n, l, s = sim.shape
+        m0 = mask0 if mask0 is not None else jnp.ones((n, l), bool)
+        m1 = mask1 if mask1 is not None else jnp.ones((n, s), bool)
+        valid = m0[:, :, None].astype(bool) & m1[:, None, :].astype(bool)
+        sim = sim + jnp.where(valid, 0.0, -1e9)
+    log_conf = jax.nn.log_softmax(sim, axis=1) + jax.nn.log_softmax(sim, axis=2)
+    return jnp.exp(log_conf), log_conf
+
+
 def _border_keep(h: int, w: int, border: int, two_sided: bool) -> jnp.ndarray:
     """[h*w] bool — grid cells outside the removed border.
 

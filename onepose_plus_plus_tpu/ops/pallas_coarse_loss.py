@@ -23,11 +23,15 @@ so one pass accumulates rowsum_g/colsum_g and a second recomputes the tiles
 and contracts dL/ds against the features on the MXU (flash-attention-style
 recompute-in-backward). Total: 4 similarity passes, O(P + L) intermediates.
 
-Semantics match ``train.losses.coarse_focal_loss`` (clip to [1e-6, 1-1e-6]
-with zero gradient outside, per-class count normalization over the whole
-batch, pos/neg class weights scaling numerators only) at bf16 similarity
-precision (MXU matmuls, f32 accumulation — same as the fused inference
-matching kernels).
+Semantics match ``train.losses.coarse_focal_loss`` in its default log-space
+form (positive focal term ``-alpha*(1-conf)^gamma*log_conf`` computed from
+the LSE factorization directly — no 1e-6 clamp, so the positive gradient
+survives arbitrarily diffuse confidences; see ``LossConfig.log_space``),
+per-class count normalization over the whole batch, pos/neg class weights
+scaling numerators only, at bf16 similarity precision (MXU matmuls, f32
+accumulation — same as the fused inference matching kernels). The backward
+passes work in d/d(log conf) throughout: with g[p,l] = dL/dlogconf[p,l]
+(== dL/dconf * conf), the dsim identity above holds unchanged.
 """
 from __future__ import annotations
 
@@ -43,12 +47,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_matching import _lse_kernel, _round_up
 
-_CLIP_LO = 1e-6
-_CLIP_HI = 1.0 - 1e-6
+# upper cap on log conf: keeps the negative term's log1p finite and the
+# positive term non-negative (conf <= 1 - ~1e-6); no LOWER clamp anywhere —
+# that is the whole point (see train.losses.LossConfig.log_space)
+_LOGCAP = -1e-6
 
 
-def _focal_terms(conf, gamma: float):
-    """(pos_term, neg_term) of the focal BCE at confidence ``conf``.
+def _focal_terms(conf, logconf, gamma: float):
+    """(pos_term, neg_term) of the log-space focal BCE.
 
     gamma == 2 avoids the transcendental pow lowering (the kernels are
     VPU-bound; exp/log already dominate).
@@ -58,13 +64,19 @@ def _focal_terms(conf, gamma: float):
         pg, ng = one_m * one_m, conf * conf
     else:
         pg, ng = one_m**gamma, conf**gamma
-    pos = -pg * jnp.log(conf)
+    pos = -pg * logconf
     neg = -ng * jnp.log1p(-conf)
     return pos, neg
 
 
-def _focal_dterms(conf, gamma: float):
-    """d/dconf of the (unweighted) focal terms, zero outside the clip range."""
+def _focal_dterms(conf, logconf, gamma: float):
+    """d/d(log conf) of the (unweighted) focal terms.
+
+    pos(x) = -(1-e^x)^g * x, neg(x) = -e^(gx) * log1p(-e^x) at x = log conf.
+    Bounded as conf -> 0 (dpos -> -1, dneg -> 0): gradient never dies at the
+    diffuse end. The ~1e-6 cap on x bounds the 1/(1-conf) blow-up at the
+    confident end to ~1e6 before count normalization.
+    """
     one_m = 1.0 - conf
     if gamma == 2.0:
         pgm1, ngm1 = one_m, conf  # x^(gamma-1)
@@ -72,19 +84,15 @@ def _focal_dterms(conf, gamma: float):
     else:
         pgm1, ngm1 = one_m ** (gamma - 1.0), conf ** (gamma - 1.0)
         pg, ng = pgm1 * one_m, ngm1 * conf
-    dpos = gamma * pgm1 * jnp.log(conf) - pg / conf
-    dneg = gamma * ngm1 * (-jnp.log1p(-conf)) + ng / one_m
-    inside = (conf > _CLIP_LO) & (conf < _CLIP_HI)
-    return (
-        jnp.where(inside, dpos, 0.0),
-        jnp.where(inside, dneg, 0.0),
-    )
+    dpos = gamma * conf * pgm1 * logconf - pg
+    dneg = gamma * ng * (-jnp.log1p(-conf)) + ng * conf / one_m
+    return dpos, dneg
 
 
 def _tile_common(
     f0, f1_ref, radd, cadd_ref, row_lse, col_lse_ref, lt, l_tile, inv_temp
 ):
-    """Recompute one [R, l_tile] tile: similarity and clipped confidence."""
+    """Recompute one [R, l_tile] tile: similarity, log-confidence, confidence."""
     lsl = pl.ds(pl.multiple_of(lt * l_tile, l_tile), l_tile)
     f1_tile = f1_ref[0, lsl, :]
     sim = (
@@ -97,18 +105,17 @@ def _tile_common(
         * inv_temp
     )
     sim = sim + radd + cadd_ref[0, :, lsl]
-    logconf = 2.0 * sim - col_lse_ref[0, :, lsl] - row_lse
-    conf = jnp.clip(jnp.exp(logconf), _CLIP_LO, _CLIP_HI)
-    return lsl, f1_tile, sim, conf
+    logconf = jnp.minimum(2.0 * sim - col_lse_ref[0, :, lsl] - row_lse, _LOGCAP)
+    conf = jnp.exp(logconf)
+    return lsl, f1_tile, sim, logconf, conf
 
 
-def _tile_g(conf, gt, ll, valid, pos_coef, neg_coef, gamma):
-    """g = dL/dconf * conf for one tile (cotangent-scaled class coefs)."""
+def _tile_g(conf, logconf, gt, ll, valid, pos_coef, neg_coef, gamma):
+    """g = dL/d(log conf) for one tile (cotangent-scaled class coefs)."""
     is_pos = (gt == ll) & valid
-    dpos, dneg = _focal_dterms(conf, gamma)
-    return (
-        jnp.where(is_pos, pos_coef * dpos, jnp.where(valid, neg_coef * dneg, 0.0))
-        * conf
+    dpos, dneg = _focal_dterms(conf, logconf, gamma)
+    return jnp.where(
+        is_pos, pos_coef * dpos, jnp.where(valid, neg_coef * dneg, 0.0)
     )
 
 
@@ -143,13 +150,13 @@ def _loss_kernel(
 
     def body(lt, carry):
         pos_sum, neg_sum, mx = carry
-        lsl, _f1, _sim, conf = _tile_common(
+        lsl, _f1, _sim, logconf, conf = _tile_common(
             f0, f1_ref, radd, cadd_ref, row_lse, col_lse_ref, lt, l_tile, inv_temp
         )
         valid = row_valid & (cadd_ref[0, :, lsl] > -1.0)  # [R, l_tile]
         ll = jax.lax.broadcasted_iota(jnp.int32, conf.shape, 1) + lt * l_tile
         is_pos = (gt == ll) & valid
-        pos_t, neg_t = _focal_terms(conf, gamma)
+        pos_t, neg_t = _focal_terms(conf, logconf, gamma)
         pos_sum = pos_sum + jnp.sum(
             jnp.where(is_pos, pos_t, 0.0), axis=1, keepdims=True
         )
@@ -206,12 +213,12 @@ def _gsum_kernel(
         colg_ref[:, :, :] = jnp.zeros_like(colg_ref)
 
     def body(lt, rowg):
-        lsl, _f1, _sim, conf = _tile_common(
+        lsl, _f1, _sim, logconf, conf = _tile_common(
             f0, f1_ref, radd, cadd_ref, row_lse, col_lse_ref, lt, l_tile, inv_temp
         )
         valid = row_valid & (cadd_ref[0, :, lsl] > -1.0)
         ll = jax.lax.broadcasted_iota(jnp.int32, conf.shape, 1) + lt * l_tile
-        g = _tile_g(conf, gt, ll, valid, pos_coef, neg_coef, gamma)
+        g = _tile_g(conf, logconf, gt, ll, valid, pos_coef, neg_coef, gamma)
         rowg = rowg + jnp.sum(g, axis=1, keepdims=True)
         colg_ref[0, :, lsl] = colg_ref[0, :, lsl] + jnp.sum(
             g, axis=0, keepdims=True
@@ -262,12 +269,12 @@ def _dfeat_kernel(
         df1_ref[:, :, :] = jnp.zeros_like(df1_ref)
 
     def body(lt, df0):
-        lsl, f1_tile, sim, conf = _tile_common(
+        lsl, f1_tile, sim, logconf, conf = _tile_common(
             f0, f1_ref, radd, cadd_ref, row_lse, col_lse_ref, lt, l_tile, inv_temp
         )
         valid = row_valid & (cadd_ref[0, :, lsl] > -1.0)
         ll = jax.lax.broadcasted_iota(jnp.int32, conf.shape, 1) + lt * l_tile
-        g = _tile_g(conf, gt, ll, valid, pos_coef, neg_coef, gamma)
+        g = _tile_g(conf, logconf, gt, ll, valid, pos_coef, neg_coef, gamma)
         # softmax over rows (p, given l) and over cols (l, given p); padded
         # entries carry sim ~ -1e9 below every LSE -> exp underflows to 0
         sm_p = jnp.exp(sim - col_lse_ref[0, :, lsl])

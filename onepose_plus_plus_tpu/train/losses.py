@@ -32,6 +32,17 @@ class LossConfig:
     pos_weight: float = 1.0
     neg_weight: float = 1.0
     coarse_weight: float = 1.0
+    # log-space positive focal term (default): the reference clamps conf to
+    # [1e-6, 1-1e-6] (``losses.py:26``), which ZEROES the positive-term
+    # gradient whenever a GT cell's dual-softmax confidence sits below 1e-6 —
+    # at diffuse confidences (e.g. toy/overfit scale, or any training
+    # collapse) the coarse loss saturates at -alpha*log(1e-6) and training
+    # dies (round-2 0.0-accuracy root cause; see artifacts/train_parity).
+    # log_space=True computes -alpha*(1-conf)^gamma*log_conf from the stable
+    # log-softmax sum instead: identical inside the clamp range, healthy
+    # bounded gradients outside it. False reproduces the exact reference
+    # clamp semantics (parity tests).
+    log_space: bool = True
     fine_type: str = "l2_with_std"
     # base fine weight; the effective weight applied in compute_losses is
     # fine_weight * (window_size / 5)^2 (reference train_onepose_plus.py:41)
@@ -49,6 +60,7 @@ def coarse_focal_loss(
     gt_cell: jnp.ndarray,
     cfg: LossConfig,
     c_weight: Optional[jnp.ndarray] = None,
+    log_conf: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Focal BCE on the dual-softmax confidence matrix vs {0,1} GT.
 
@@ -56,20 +68,35 @@ def coarse_focal_loss(
         conf: [N, L, S] dual-softmax confidence.
         gt_cell: [N, L] int32 — GT coarse cell for each 3D point, -1 if none.
         c_weight: optional [N, L, S] padding weight (reference ``compute_c_weight``).
+        log_conf: optional [N, L, S] stable log-confidence (from
+            ``dual_softmax_log_confidence``); derived from ``conf`` if absent.
 
     Reference semantics (``losses.py:18-56``): mean of weighted focal terms
     over positive entries plus over negative entries, each normalized by the
-    *count* of entries in that class (weights scale the numerator only).
+    *count* of entries in that class (weights scale the numerator only). With
+    ``cfg.log_space`` (default) the positive term runs unclamped in log space
+    — see ``LossConfig.log_space`` for why the reference clamp kills training
+    at diffuse confidences.
     """
     assert cfg.coarse_type == "focal", cfg.coarse_type
     n, l, s = conf.shape
-    conf = jnp.clip(conf, 1e-6, 1.0 - 1e-6)
     cell_ids = jnp.arange(s, dtype=gt_cell.dtype)[None, None, :]
     pos = gt_cell[:, :, None] == cell_ids  # [N, L, S] bool
     alpha, gamma = cfg.focal_alpha, cfg.focal_gamma
 
-    loss_pos = -alpha * (1.0 - conf) ** gamma * jnp.log(conf)
-    loss_neg = -(1.0 - alpha) * conf**gamma * jnp.log(1.0 - conf)
+    if cfg.log_space:
+        if log_conf is None:
+            log_conf = jnp.log(jnp.maximum(conf, 1e-38))
+        # cap at log(1-1e-6) so the negative term's log1p stays finite and
+        # the positive term stays >= 0
+        log_conf = jnp.minimum(log_conf, -1e-6)
+        conf = jnp.exp(log_conf)
+        loss_pos = -alpha * (1.0 - conf) ** gamma * log_conf
+        loss_neg = -(1.0 - alpha) * conf**gamma * jnp.log1p(-conf)
+    else:
+        conf = jnp.clip(conf, 1e-6, 1.0 - 1e-6)
+        loss_pos = -alpha * (1.0 - conf) ** gamma * jnp.log(conf)
+        loss_neg = -(1.0 - alpha) * conf**gamma * jnp.log(1.0 - conf)
     if c_weight is not None:
         loss_pos = loss_pos * c_weight
         loss_neg = loss_neg * c_weight
@@ -169,6 +196,7 @@ def compute_losses(
         loss_c = coarse_focal_loss(
             out["conf_matrix"], batch["gt_cell"], cfg,
             c_weight=batch.get("c_weight"),
+            log_conf=out.get("log_conf_matrix"),
         )
         max_conf = jnp.max(out["conf_matrix"])
     else:
@@ -178,6 +206,12 @@ def compute_losses(
 
         if batch.get("c_weight") is not None:
             raise ValueError("c_weight unsupported on the fused coarse loss")
+        if not cfg.log_space:
+            raise ValueError(
+                "the fused coarse loss is log-space only (set "
+                "coarse_matching.use_fused_kernel=False for clamped-reference "
+                "semantics)"
+            )
         ctx = out["coarse_loss_ctx"]
         f0, f1 = ctx["feats"]
         loss_c, max_conf = fused_coarse_focal_loss(

@@ -42,6 +42,57 @@ def test_coarse_focal_loss_matches_reference_math():
     assert got == pytest.approx(float(want), rel=1e-4)
 
 
+def test_coarse_focal_loss_gradient_survives_saturation():
+    """Round-2 0.0-accuracy root cause: with every GT confidence below the
+    reference 1e-6 clamp, the clamped focal loss saturates at
+    -alpha*log(1e-6) with EXACTLY zero positive gradient (training dead).
+    The default log-space form must keep a healthy gradient there."""
+    import dataclasses
+
+    from onepose_plus_plus_tpu.ops.matching import dual_softmax_log_confidence
+
+    rng = np.random.default_rng(3)
+    n, l, s, c = 1, 24, 4096, 32
+    # sharply peaked similarities at wrong cells -> GT conf ~ 1e-9 .. 1e-30
+    f0 = jnp.asarray(rng.standard_normal((n, l, c)).astype(np.float32) * 4)
+    f1 = jnp.asarray(rng.standard_normal((n, s, c)).astype(np.float32) * 4)
+    gt_cell = jnp.asarray(rng.integers(0, s, (n, l)).astype(np.int32))
+    cfg = LossConfig()
+
+    def loss_fn(f0, log_space):
+        conf, log_conf = dual_softmax_log_confidence(f0, f1, 0.08)
+        return coarse_focal_loss(
+            conf,
+            gt_cell,
+            dataclasses.replace(cfg, log_space=log_space),
+            log_conf=log_conf if log_space else None,
+        )
+
+    conf, _ = dual_softmax_log_confidence(f0, f1, 0.08)
+    gt_conf = np.take_along_axis(np.asarray(conf), np.asarray(gt_cell)[..., None], 2)
+    assert gt_conf.max() < 1e-6, "setup must saturate the reference clamp"
+
+    loss_clamped, g_clamped = jax.value_and_grad(lambda f: loss_fn(f, False))(f0)
+    loss_log, g_log = jax.value_and_grad(lambda f: loss_fn(f, True))(f0)
+
+    # clamped: loss pinned at -alpha*log(1e-6) + ~0, positive-gradient dead
+    assert float(loss_clamped) == pytest.approx(
+        -cfg.focal_alpha * np.log(1e-6), rel=1e-3
+    )
+    # log-space: larger loss (true -log conf >> 13.8), alive gradient
+    assert float(loss_log) > float(loss_clamped)
+    assert np.isfinite(np.asarray(g_log)).all()
+    assert np.abs(np.asarray(g_log)).max() > 10 * np.abs(np.asarray(g_clamped)).max()
+
+    # one gradient step on f0 must RAISE the GT-cell (log-)confidence
+    _, log_old = dual_softmax_log_confidence(f0, f1, 0.08)
+    _, log_new = dual_softmax_log_confidence(f0 - 1e-2 * g_log, f1, 0.08)
+    take = lambda a: np.take_along_axis(
+        np.asarray(a), np.asarray(gt_cell)[..., None], 2
+    )
+    assert np.median(take(log_new) - take(log_old)) > 0.0
+
+
 def test_fine_supervision_offsets():
     # one sample, coarse grid 4x4 (w_c=4), window 5 => radius 2
     gt_cell = jnp.array([[5, -1, 10]], jnp.int32)  # point0 -> cell 5, point2 -> 10
