@@ -393,6 +393,12 @@ def _core_bwd(inv_temp, alpha, gamma, r_tile, l_tile, interpret, res, cts):
     )
     grid = (b, p_pad // r_tile)
     kw = dict(l_tile=l_tile, inv_temp=inv_temp, alpha=alpha, gamma=gamma)
+    # the recompute-in-backward kernels keep the full f1 block plus several
+    # [r_tile, l_tile] f32 intermediates live; at the production train config
+    # (P7168 x L4096 x C256, 512^2 tiles) that lands ~1 MB over Mosaic's
+    # default 16 MB scoped-vmem budget — raise the per-kernel limit (v5e has
+    # 128 MB VMEM; actual use is ~17-20 MB)
+    bwd_params = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
     rowg, colg = pl.pallas_call(
         partial(_gsum_kernel, **kw),
         grid=grid,
@@ -403,6 +409,7 @@ def _core_bwd(inv_temp, alpha, gamma, r_tile, l_tile, interpret, res, cts):
             jax.ShapeDtypeStruct((b, 1, l_pad), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=bwd_params,
     )(f0, f1, radd, cadd, row_lse, col_lse, gt, coef)
 
     df0, df1 = pl.pallas_call(
@@ -427,6 +434,7 @@ def _core_bwd(inv_temp, alpha, gamma, r_tile, l_tile, interpret, res, cts):
             jax.ShapeDtypeStruct((b, l_pad, c), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=bwd_params,
     )(f0, f1, radd, cadd, row_lse, col_lse, gt, coef, rowg, colg)
 
     return (

@@ -143,6 +143,96 @@ def main():
             print(f"step: {t*1e3:.1f} ms ({BATCH/t:.1f} poses/s)")
         return
 
+    if NAME in ("train", "train_xla"):
+        # full train step (forward+backward+AdamW) at the reference train
+        # config: 512^2 images, 7000-pt cloud, 1428 train match slots, bf16.
+        # "train" uses the fused Pallas coarse-loss/selection kernels (TPU
+        # default), "train_xla" forces the materialized-conf XLA fallback.
+        import dataclasses as dc
+
+        from flax.core import FrozenDict
+
+        from onepose_plus_plus_tpu.train.train_step import (
+            TrainConfig,
+            TrainState,
+            make_lr_schedule,
+            make_optimizer,
+            train_step,
+        )
+        from onepose_plus_plus_tpu.models.onepose_plus import OnePosePlusModel as _M
+
+        tb = BATCH if len(sys.argv) > 2 else 4
+        cfg = OnePosePlusConfig(
+            compute_dtype="bfloat16",
+            coarse_matching=CoarseMatchingConfig(
+                use_fused_kernel=None if NAME == "train" else False
+            ),
+        )
+        s_grid = (IMG // 8) ** 2
+        batch = {
+            "query_image": jnp.asarray(rng.random((tb, IMG, IMG, 1), np.float32)),
+            "keypoints3d": jnp.asarray(
+                rng.standard_normal((tb, N_POINTS, 3)).astype(np.float32)
+            ),
+            "descriptors3d": jnp.asarray(
+                rng.standard_normal((tb, N_POINTS, 128)).astype(np.float32)
+            ),
+            "descriptors3d_coarse": jnp.asarray(
+                rng.standard_normal((tb, N_POINTS, 256)).astype(np.float32)
+            ),
+            "gt_cell": jnp.asarray(
+                np.where(
+                    rng.random((tb, N_POINTS)) < 0.2,
+                    rng.integers(0, s_grid, (tb, N_POINTS)),
+                    -1,
+                ).astype(np.int32)
+            ),
+            "gt_fine_xy": jnp.asarray(
+                (rng.random((tb, N_POINTS, 2)) * IMG).astype(np.float32)
+            ),
+        }
+        tcfg = TrainConfig()
+        model = _M(cfg)
+        # jitted init — un-jitted flax init over the axon tunnel takes minutes
+        variables = jax.jit(
+            lambda r, b: model.init(
+                {"params": r, "matching": jax.random.PRNGKey(9)}, b, train=True
+            )
+        )(jax.random.PRNGKey(0), batch)
+        tx = make_optimizer(
+            tcfg, make_lr_schedule(tcfg, tcfg.true_lr(tb), 1000)
+        )
+        params = variables["params"]
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", FrozenDict()),
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+        key = jax.random.PRNGKey(1)
+
+        @jax.jit
+        def chunk(state, k0):
+            def body(st, i):
+                b = dict(batch)
+                b["query_image"] = b["query_image"] + (k0 + i.astype(jnp.float32)) * 1e-9
+                st, scalars = train_step(model, st, b, key, tcfg)
+                return st, scalars["loss"]
+
+            state, losses = jax.lax.scan(body, state, jnp.arange(SCAN))
+            return state, jnp.sum(losses)
+
+        state, tot = chunk(state, jnp.float32(0))
+        float(tot)
+        t0 = time.perf_counter()
+        for k in range(ITERS):
+            state, tot = chunk(state, jnp.float32((k + 1) * SCAN))
+        float(tot)
+        t = (time.perf_counter() - t0) / (ITERS * SCAN)
+        print(f"{NAME}: {t*1e3:.1f} ms/step ({tb/t:.2f} samples/s, batch {tb})")
+        return
+
     if NAME in ("backbone", "backbone_q", "bbfull"):
         import dataclasses as dc
 

@@ -136,7 +136,20 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--eval-thr", type=float, default=1e-4)
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts", "train_parity"))
+    ap.add_argument(
+        "--no-torch",
+        action="store_true",
+        help="JAX-only fast iteration (random JAX init, no torch training or "
+        "eval) — for diagnosing the JAX training loop without the 2x-slower "
+        "side-by-side run",
+    )
     args = ap.parse_args()
+
+    if args.no_torch and args.out == os.path.join(
+        REPO, "artifacts", "train_parity"
+    ):
+        # don't clobber the committed side-by-side artifact with a JAX-only run
+        args.out = "/tmp/train_parity_jax_only"
 
     anno = os.path.join(args.workdir, "train_anno.json")
     if not os.path.exists(anno):
@@ -145,16 +158,19 @@ def main():
             "toy object + SfM annotations"
         )
 
-    import torch
+    use_torch = not args.no_torch
+    if use_torch:
+        import torch
 
     import jax
     import jax.numpy as jnp
 
-    from reference_stubs import (
-        REF_ONEPOSE_CONFIG,
-        build_reference_onepose_model,
-        install_reference_stubs,
-    )
+    if use_torch:
+        from reference_stubs import (
+            REF_ONEPOSE_CONFIG,
+            build_reference_onepose_model,
+            install_reference_stubs,
+        )
 
     sys.path.insert(0, REPO)
     from train_onepose_plus import load_records
@@ -172,45 +188,46 @@ def main():
     from onepose_plus_plus_tpu.train.losses import LossConfig, compute_losses
     from onepose_plus_plus_tpu.utils.checkpoint import convert_torch_state_dict
 
-    install_reference_stubs()
-    from src.lightning_model.losses import Loss as RefLoss  # noqa: E402
-    from src.models.OnePosePlus.utils.fine_supervision import (  # noqa: E402
-        fine_supervision as ref_fine_supervision,
-    )
+    if use_torch:
+        install_reference_stubs()
+        from src.lightning_model.losses import Loss as RefLoss  # noqa: E402
+        from src.models.OnePosePlus.utils.fine_supervision import (  # noqa: E402
+            fine_supervision as ref_fine_supervision,
+        )
 
-    torch.manual_seed(0)
-    torch.set_num_threads(max(1, os.cpu_count() // 2))
+        torch.manual_seed(0)
+        torch.set_num_threads(max(1, os.cpu_count() // 2))
 
-    # ---- matched small-model configs (same as scripts/overfit_e2e.py CPU) --
-    ref_cfg = copy.deepcopy(REF_ONEPOSE_CONFIG)
-    ref_cfg["loftr_coarse"]["layer_iter_n"] = 2
-    # train_max_matches=256 == int(min(S=512, n_cells=256) * 1.0)
-    ref_cfg["coarse_matching"]["train"] = {
-        "train_padding": True,
-        "train_coarse_percent": 1.0,
-        "train_pad_num_gt_min": 32,
-    }
-    ref_model = build_reference_onepose_model(config=ref_cfg)
-    ref_model.train()
-    ref_loss = RefLoss(
-        {
-            "coarse_type": "focal",
-            "focal_alpha": 0.5,
-            "focal_gamma": 2.0,
-            "pos_weight": 1.0,
-            "neg_weight": 1.0,
-            "coarse_weight": 1.0,
-            "fine_weight": 0.25,
-            "fine_correct_thr": 1.0,
-            "fine_type": "l2_with_std",
+        # ---- matched small-model configs (same as overfit_e2e.py CPU) -----
+        ref_cfg = copy.deepcopy(REF_ONEPOSE_CONFIG)
+        ref_cfg["loftr_coarse"]["layer_iter_n"] = 2
+        # train_max_matches=256 == int(min(S=512, n_cells=256) * 1.0)
+        ref_cfg["coarse_matching"]["train"] = {
+            "train_padding": True,
+            "train_coarse_percent": 1.0,
+            "train_pad_num_gt_min": 32,
         }
-    )
-    ref_sup_cfg = {
-        "OnePosePlus": {
-            "loftr_backbone": {"resolution": [8, 2]},
-            "loftr_fine": {"window_size": 5},
+        ref_model = build_reference_onepose_model(config=ref_cfg)
+        ref_model.train()
+        ref_loss = RefLoss(
+            {
+                "coarse_type": "focal",
+                "focal_alpha": 0.5,
+                "focal_gamma": 2.0,
+                "pos_weight": 1.0,
+                "neg_weight": 1.0,
+                "coarse_weight": 1.0,
+                "fine_weight": 0.25,
+                "fine_correct_thr": 1.0,
+                "fine_type": "l2_with_std",
+            }
+        )
+        ref_sup_cfg = {
+            "OnePosePlus": {
+                "loftr_backbone": {"resolution": [8, 2]},
+                "loftr_fine": {"window_size": 5},
+            }
         }
-    }
 
     jx_overrides = {
         "loftr_coarse": {"layer_iter_n": 2},
@@ -246,10 +263,11 @@ def main():
         jb0,
         train=True,
     )
-    variables, report = convert_torch_state_dict(
-        ref_model.state_dict(), variables, strict=True
-    )
-    assert report["missing"] == [] and report["skipped"] == []
+    if use_torch:
+        variables, report = convert_torch_state_dict(
+            ref_model.state_dict(), variables, strict=True
+        )
+        assert report["missing"] == [] and report["skipped"] == []
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
@@ -257,7 +275,10 @@ def main():
 
     tx = optax.adamw(args.lr, weight_decay=0.1)
     opt_state = tx.init(params)
-    ref_opt = torch.optim.AdamW(ref_model.parameters(), lr=args.lr, weight_decay=0.1)
+    if use_torch:
+        ref_opt = torch.optim.AdamW(
+            ref_model.parameters(), lr=args.lr, weight_decay=0.1
+        )
 
     @jax.jit
     def jx_step(params, batch_stats, opt_state, batch, rng):
@@ -297,20 +318,23 @@ def main():
         ep_t, ep_j = [], []
         for idx in order:
             s = usable[int(idx)]
-            sc_t = ref_step(s)
+            if use_torch:
+                sc_t = ref_step(s)
+                curves["torch"].append(sc_t)
+                ep_t.append(sc_t["loss"])
             params, batch_stats, opt_state, sc_j = jx_step(
                 params, batch_stats, opt_state, jax_batch(s),
                 jax.random.fold_in(jax.random.PRNGKey(7), step),
             )
             sc_j = {k: float(v) for k, v in sc_j.items()}
-            curves["torch"].append(sc_t)
             curves["jax"].append(sc_j)
-            ep_t.append(sc_t["loss"])
             ep_j.append(sc_j["loss"])
             step += 1
+        t_part = f"torch loss {np.mean(ep_t):.4f} | " if use_torch else ""
         print(
-            f"epoch {epoch:3d}: torch loss {np.mean(ep_t):.4f} | "
-            f"jax loss {np.mean(ep_j):.4f}  ({time.time() - t0:.0f}s)",
+            f"epoch {epoch:3d}: {t_part}jax loss {np.mean(ep_j):.4f} "
+            f"max_conf {np.mean([c['max_conf'] for c in curves['jax'][-len(usable):]]):.3f}"
+            f"  ({time.time() - t0:.0f}s)",
             flush=True,
         )
 
@@ -350,8 +374,9 @@ def main():
     # eval models: same params, eval-mode threshold
     jx_eval = build_onepose_model({**jx_overrides, "match_coarse": {
         **jx_overrides["match_coarse"], "thr": args.eval_thr}})
-    ref_model.eval()
-    ref_model.coarse_matching.thr = args.eval_thr
+    if use_torch:
+        ref_model.eval()
+        ref_model.coarse_matching.thr = args.eval_thr
 
     summary = {"frames": [], "five_cm_five_deg": {}}
     hits = {"torch": 0, "jax": 0}
@@ -377,49 +402,55 @@ def main():
             f["pose_gt"],
             fi,
         )
-        # torch
-        data = {
-            "query_image": torch.from_numpy(f["image"][None, None]),
-            "query_image_scale": torch.ones(1, 2),
-            "keypoints3d": torch.from_numpy(pc["keypoints3d"][None]),
-            "descriptors3d_db": torch.from_numpy(
-                pc["descriptors3d"].T[None].copy()
-            ),
+        frame_rec = {
+            "frame": fi,
+            "jax": {"R_deg": Rj, "t_cm": tj, "inliers": inlj,
+                    "n": int(mask.sum())},
         }
-        if ccd is not None:
-            data["descriptors3d_coarse_db"] = torch.from_numpy(ccd.T[None].copy())
-        with torch.no_grad():
-            ref_model(data)
-        mk3d_t = data["mkpts_3d_db"].numpy()
-        mk2d_t = data["mkpts_query_f"].numpy()
-        cap = 512
-        m3 = np.zeros((cap, 3), np.float32)
-        m2 = np.zeros((cap, 2), np.float32)
-        msk = np.zeros(cap, bool)
-        n = min(cap, mk3d_t.shape[0])
-        m3[:n], m2[:n], msk[:n] = mk3d_t[:n], mk2d_t[:n], True
-        Rt, tt, inlt = eval_pose_errors(m3, m2, msk, f["K"], f["pose_gt"], fi)
-        summary["frames"].append(
-            {
-                "frame": fi,
-                "torch": {"R_deg": Rt, "t_cm": tt, "inliers": inlt, "n": n},
-                "jax": {"R_deg": Rj, "t_cm": tj, "inliers": inlj,
-                        "n": int(mask.sum())},
-            }
-        )
-        hits["torch"] += (Rt < 5) and (tt < 5)
         hits["jax"] += (Rj < 5) and (tj < 5)
+        t_part = ""
+        if use_torch:
+            data = {
+                "query_image": torch.from_numpy(f["image"][None, None]),
+                "query_image_scale": torch.ones(1, 2),
+                "keypoints3d": torch.from_numpy(pc["keypoints3d"][None]),
+                "descriptors3d_db": torch.from_numpy(
+                    pc["descriptors3d"].T[None].copy()
+                ),
+            }
+            if ccd is not None:
+                data["descriptors3d_coarse_db"] = torch.from_numpy(
+                    ccd.T[None].copy()
+                )
+            with torch.no_grad():
+                ref_model(data)
+            mk3d_t = data["mkpts_3d_db"].numpy()
+            mk2d_t = data["mkpts_query_f"].numpy()
+            cap = 512
+            m3 = np.zeros((cap, 3), np.float32)
+            m2 = np.zeros((cap, 2), np.float32)
+            msk = np.zeros(cap, bool)
+            n = min(cap, mk3d_t.shape[0])
+            m3[:n], m2[:n], msk[:n] = mk3d_t[:n], mk2d_t[:n], True
+            Rt, tt, inlt = eval_pose_errors(m3, m2, msk, f["K"], f["pose_gt"], fi)
+            frame_rec["torch"] = {"R_deg": Rt, "t_cm": tt, "inliers": inlt, "n": n}
+            hits["torch"] += (Rt < 5) and (tt < 5)
+            t_part = f"torch R={Rt:7.2f} t={tt:6.2f} ({n} m) | "
+        summary["frames"].append(frame_rec)
         print(
-            f"  f{fi:02d} torch R={Rt:7.2f} t={tt:6.2f} ({n} m) | "
+            f"  f{fi:02d} {t_part}"
             f"jax R={Rj:7.2f} t={tj:6.2f} ({int(mask.sum())} m)",
             flush=True,
         )
 
     nf = len(ids)
-    summary["five_cm_five_deg"] = {k: v / nf for k, v in hits.items()}
+    summary["five_cm_five_deg"] = {
+        k: v / nf for k, v in hits.items() if use_torch or k == "jax"
+    }
     summary["final_loss"] = {
-        "torch": float(np.mean([c["loss"] for c in curves["torch"][-len(usable):]])),
-        "jax": float(np.mean([c["loss"] for c in curves["jax"][-len(usable):]])),
+        k: float(np.mean([c["loss"] for c in curves[k][-len(usable):]]))
+        for k in curves
+        if curves[k]
     }
     summary["config"] = {
         "epochs": args.epochs,
