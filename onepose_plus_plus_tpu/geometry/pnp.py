@@ -238,6 +238,178 @@ def _fit_pose_planar(pts3d: jnp.ndarray, pts2dn: jnp.ndarray) -> tuple:
     return jnp.stack([Rp, Rm]), jnp.stack([tp, tm])
 
 
+def _solve_quartic(c: jnp.ndarray) -> jnp.ndarray:
+    """All four roots of ``c[0] x^4 + ... + c[4] = 0`` (Ferrari, closed form).
+
+    Fully vectorizable/TPU-compatible: no ``eigvals`` (nonsymmetric eig is
+    unimplemented on the TPU backend) and no data-dependent branching. Works
+    in complex arithmetic throughout and polishes each root with two Newton
+    steps (complex64 Ferrari alone loses ~3 digits, which matters at RANSAC's
+    tight normalized-coordinate thresholds).
+
+    Returns:
+        [4] complex roots (callers filter by |imag| and domain constraints).
+    """
+    ctype = jnp.complex64 if c.dtype == jnp.float32 else jnp.complex128
+    c = c.astype(ctype)
+    lead = jnp.where(jnp.abs(c[0]) < _EPS, jnp.asarray(_EPS, ctype), c[0])
+    a, b, cc, d = c[1] / lead, c[2] / lead, c[3] / lead, c[4] / lead
+    # depressed quartic y^4 + p y^2 + q y + r, x = y - a/4
+    p = b - 3 * a * a / 8
+    q = cc - a * b / 2 + a * a * a / 8
+    r = d - a * cc / 4 + a * a * b / 16 - 3 * a**4 / 256
+    # resolvent cubic 8 m^3 + 8 p m^2 + (2 p^2 - 8 r) m - q^2 = 0
+    c3, c2, c1, c0 = (
+        jnp.asarray(8.0, ctype),
+        8 * p,
+        2 * p * p - 8 * r,
+        -q * q,
+    )
+    # Cardano on the monic depressed cubic u^3 + P u + Q
+    A2, A1, A0 = c2 / c3, c1 / c3, c0 / c3
+    P = A1 - A2 * A2 / 3
+    Q = 2 * A2**3 / 27 - A2 * A1 / 3 + A0
+    disc = jnp.sqrt(Q * Q / 4 + P**3 / 27)
+    # complex cube root via exp(log/3); guard log(0)
+    def _cbrt(z):
+        z = jnp.where(jnp.abs(z) < 1e-30, jnp.asarray(1e-30, ctype), z)
+        return jnp.exp(jnp.log(z) / 3)
+
+    u1 = _cbrt(-Q / 2 + disc)
+    # all three cube roots; pick m with the largest |2m| for a stable sqrt
+    w = jnp.asarray(-0.5 + 0.8660254037844386j, ctype)
+    us = jnp.stack([u1, u1 * w, u1 * w * w])
+    # guard u=0 (triple root): P/(3u) blows up
+    us = jnp.where(jnp.abs(us) < 1e-30, jnp.asarray(1e-30, ctype), us)
+    ms = us - P / (3 * us) - A2 / 3
+    m = ms[jnp.argmax(jnp.abs(ms))]
+    s = jnp.sqrt(2 * m)
+    s = jnp.where(jnp.abs(s) < _EPS, jnp.asarray(_EPS, ctype), s)
+    # quartic factors: y^2 +- s y + (p/2 + m -+ q/(2s))
+    t0 = p / 2 + m
+    d1 = jnp.sqrt(s * s / 4 - (t0 - q / (2 * s)))
+    d2 = jnp.sqrt(s * s / 4 - (t0 + q / (2 * s)))
+    roots = jnp.stack(
+        [-s / 2 + d1, -s / 2 - d1, s / 2 + d2, s / 2 - d2]
+    ) - a / 4
+    # Newton polish against the original (normalized) quartic
+    for _ in range(2):
+        f = (((roots + a) * roots + b) * roots + cc) * roots + d
+        df = ((4 * roots + 3 * a) * roots + 2 * b) * roots + cc
+        df = jnp.where(jnp.abs(df) < _EPS, jnp.asarray(_EPS, ctype), df)
+        roots = roots - f / df
+    return roots
+
+
+def _kabsch(src: jnp.ndarray, dst: jnp.ndarray) -> tuple:
+    """Rigid transform R, t with ``R @ src + t ~= dst`` (proper rotation)."""
+    cs = jnp.mean(src, axis=0)
+    cd = jnp.mean(dst, axis=0)
+    H = (src - cs).T @ (dst - cd)
+    U, _, Vt = jnp.linalg.svd(H)
+    det = _det3(Vt.T @ U.T)
+    S = jnp.diag(jnp.array([1.0, 1.0, 1.0], src.dtype)).at[2, 2].set(det)
+    R = Vt.T @ S @ U.T
+    return R, cd - R @ cs
+
+
+def _fit_pose_p3p(pts3d: jnp.ndarray, pts2dn: jnp.ndarray) -> tuple:
+    """Minimal 3-point pose: Grunert's P3P, all four solutions.
+
+    The production minimal solver the reference gets from its native backends
+    (pycolmap P3P / ``cv2.solvePnPRansac``, ``src/utils/metric_utils.py:
+    121-204``). Three-point samples keep RANSAC effective when few
+    correspondences survive the confidence threshold: with N matches and one
+    outlier, a 6-point DLT sample is contaminated with probability ~6/N while
+    a 3-point sample escapes with probability ~(1-3/N) — decisive for N<20.
+
+    Derivation (Grunert 1841 via Haralick et al. 1994): with distances
+    s1,s2,s3 from the camera to the three points, the law of cosines in the
+    three view triangles reduces (u=s2/s1, v=s3/s1) to a quartic in v and a
+    rational expression for u. All four roots are returned as pose
+    candidates; RANSAC inlier counting arbitrates (no 4th-point test needed).
+
+    Args:
+        pts3d: [3, 3] world points; pts2dn: [3, 2] normalized image coords.
+    Returns:
+        (R [4,3,3], t [4,3]) — non-physical roots yield NaN poses, which the
+        RANSAC scorer already discards via its finite-ness guard.
+    """
+    f = jnp.concatenate(
+        [pts2dn, jnp.ones((3, 1), pts2dn.dtype)], axis=-1
+    )
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)  # unit bearings
+    P1, P2, P3 = pts3d[0], pts3d[1], pts3d[2]
+    a2 = jnp.sum((P2 - P3) ** 2)  # side a opposite P1
+    b2 = jnp.sum((P1 - P3) ** 2)
+    c2 = jnp.sum((P1 - P2) ** 2)
+    b2 = jnp.maximum(b2, _EPS)
+    cos_al = jnp.dot(f[1], f[2])  # angle at camera between rays 2,3
+    cos_be = jnp.dot(f[0], f[2])
+    cos_ga = jnp.dot(f[0], f[1])
+    A = a2 / b2
+    B = c2 / b2
+    # u = N(v)/D(v): N deg-2, D deg-1 (ascending coeffs)
+    N = jnp.stack([A - B + 1, -2 * (A - B) * cos_be, A - B - 1])
+    D = jnp.stack([2 * cos_ga, -2 * cos_al])
+    # quartic: Q(v) D^2 + N^2 - 2 cos_ga N D = 0,
+    # Q = 1 - B(1 + v^2 - 2 v cos_be)
+    Q = jnp.stack([1 - B, 2 * B * cos_be, -B])
+
+    def pmul(x, y):  # static-size ascending-coeff product
+        n_out = x.shape[0] + y.shape[0] - 1
+        out = jnp.zeros(n_out, x.dtype)
+        for i in range(x.shape[0]):
+            for j in range(y.shape[0]):
+                out = out.at[i + j].add(x[i] * y[j])
+        return out
+
+    D2 = pmul(D, D)
+    # assemble degree-4 ascending coefficients
+    qd2 = pmul(Q, D2)  # deg 4
+    nn = pmul(N, N)  # deg 4
+    nd = pmul(N, D)  # deg 3
+    coeffs_asc = qd2 + nn
+    coeffs_asc = coeffs_asc.at[:4].add(-2 * cos_ga * nd)
+    roots = _solve_quartic(coeffs_asc[::-1])  # solver wants descending
+
+    vr = jnp.real(roots)
+    ok = (jnp.abs(jnp.imag(roots)) < 1e-4 * (1 + jnp.abs(vr))) & (vr > _EPS)
+    vr = jnp.where(ok, vr, jnp.nan)
+
+    # u(v), then absolute distances from s1^2 (1 + v^2 - 2 v cos_be) = b^2
+    Nv = (N[2] * vr + N[1]) * vr + N[0]
+    Dv = D[1] * vr + D[0]
+    Dv = jnp.where(jnp.abs(Dv) < _EPS, jnp.nan, Dv)
+    ur = Nv / Dv
+    # Newton polish of (u, v) on the original law-of-cosines pair — the
+    # quartic path runs in complex64 and loses ~3 digits, which is ~0.5 deg
+    # of hypothesis rotation; two 2x2 Newton steps restore f32 precision
+    for _ in range(2):
+        g1 = ur * ur + vr * vr - 2 * ur * vr * cos_al - A * (
+            1 + vr * vr - 2 * vr * cos_be
+        )
+        g2 = 1 + ur * ur - 2 * ur * cos_ga - B * (
+            1 + vr * vr - 2 * vr * cos_be
+        )
+        j11 = 2 * ur - 2 * vr * cos_al
+        j12 = 2 * vr - 2 * ur * cos_al - A * (2 * vr - 2 * cos_be)
+        j21 = 2 * ur - 2 * cos_ga
+        j22 = -B * (2 * vr - 2 * cos_be)
+        det = j11 * j22 - j12 * j21
+        det = jnp.where(jnp.abs(det) < _EPS, jnp.nan, det)
+        ur = ur - (g1 * j22 - g2 * j12) / det
+        vr = vr - (g2 * j11 - g1 * j21) / det
+    s1 = jnp.sqrt(b2 / jnp.maximum(1 + vr * vr - 2 * vr * cos_be, _EPS))
+    s1 = jnp.where((ur > _EPS), s1, jnp.nan)
+    cam = (
+        jnp.stack([s1, ur * s1, vr * s1], axis=-1)[..., None]
+        * f[None, :, :]
+    )  # [4, 3(pts), 3(xyz)]
+    R, t = jax.vmap(lambda pc: _kabsch(pts3d, pc))(cam)
+    return R, t
+
+
 def _reproj_errors(
     R: jnp.ndarray, t: jnp.ndarray, pts3d: jnp.ndarray, pts2dn: jnp.ndarray
 ) -> jnp.ndarray:
@@ -312,6 +484,8 @@ def ransac_pnp(
     sample_size: int = 6,
     refine_iters: int = 10,
     planar_hypotheses: bool = True,
+    p3p_hypotheses: bool = True,
+    min_inliers: int = 4,
 ) -> PnPResult:
     """RANSAC PnP for one frame with fixed-capacity correspondences.
 
@@ -366,6 +540,18 @@ def ransac_pnp(
         Rpl, tpl = jax.vmap(_fit_pose_planar)(samp3d, samp2dn)  # [H,2,3,3]
         Rh = jnp.concatenate([Rh, Rpl.reshape(-1, 3, 3)], axis=0)
         th = jnp.concatenate([th, tpl.reshape(-1, 3)], axis=0)
+    if p3p_hypotheses:
+        # minimal 3-point hypotheses (first 3 slots of each sample — gumbel
+        # top-k order is a uniform random permutation of the valid set, so
+        # this is a uniform 3-subset). Indispensable when few matches survive
+        # the confidence threshold: a 6-point sample needs ALL 6 clean, a
+        # 3-point sample stays clean with prob (1-o)(1-o')(1-o'') — at
+        # n=6, 1 outlier that is 1/2 vs 0 clean 6-samples.
+        Rp3, tp3 = jax.vmap(_fit_pose_p3p)(
+            samp3d[:, :3], samp2dn[:, :3]
+        )  # [H, 4, 3, 3]
+        Rh = jnp.concatenate([Rh, Rp3.reshape(-1, 3, 3)], axis=0)
+        th = jnp.concatenate([th, tp3.reshape(-1, 3)], axis=0)
 
     errs = _reproj_errors(Rh, th, pts3d[None], pts2dn[None])  # [H, N]
     inl = (errs <= thr2) & valid[None, :]
@@ -387,7 +573,10 @@ def ransac_pnp(
     errs_ref = _reproj_errors(R_ref, t_ref, pts3d, pts2dn)
     inl_ref = (errs_ref <= thr2) & valid
     num = jnp.sum(inl_ref).astype(jnp.int32)
-    ok = (num >= sample_size) & jnp.all(jnp.isfinite(R_ref)) & jnp.all(
+    # min_inliers (not sample_size) gates acceptance: a pose supported by 4-5
+    # inliers is well-determined even though the DLT samples draw 6 — the
+    # reference accepts any cv2.solvePnPRansac success (4-point minimum)
+    ok = (num >= min_inliers) & jnp.all(jnp.isfinite(R_ref)) & jnp.all(
         jnp.isfinite(t_ref)
     )
     identity = jnp.eye(3, dtype=pts3d.dtype)

@@ -43,14 +43,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-# the environment's sitecustomize pre-imports jax bound to the TPU relay; the
-# env var alone is too late — rebind the platform on the live config (the
-# tunnel down = any axon-dispatched op blocks forever)
-import jax  # noqa: E402
+# --tpu runs the JAX side on the chip (fast iteration with --no-torch); the
+# default pins CPU for bit-comparable numerics vs torch. The pin must happen
+# before any jax use: the environment's sitecustomize pre-imports jax bound to
+# the TPU relay, so the env var alone is too late — rebind the platform on the
+# live config (tunnel down = any axon-dispatched op blocks forever).
+if "--tpu" not in sys.argv:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax  # noqa: E402
 
 
 def dense_gt(sample, img, stride=8):
@@ -101,22 +106,34 @@ def jax_batch(sample):
     }
 
 
+_PNP_JIT = None
+
+
 def eval_pose_errors(mk3d, mk2d, mask, K, pose_gt, seed):
     """Shared RANSAC-PnP + R/t errors (isolates the matcher under test)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from onepose_plus_plus_tpu.eval.metrics import batched_pose_errors
     from onepose_plus_plus_tpu.geometry.pnp import ransac_pnp
 
-    res = ransac_pnp(
+    global _PNP_JIT
+    if _PNP_JIT is None:
+        # jit once: un-jitted ransac_pnp dispatches hundreds of tiny ops,
+        # each paying the axon tunnel RTT under --tpu
+        _PNP_JIT = jax.jit(
+            functools.partial(
+                ransac_pnp, reproj_threshold_px=3.3, num_hypotheses=128
+            )
+        )
+    res = _PNP_JIT(
         jnp.asarray(mk3d),
         jnp.asarray(mk2d),
         jnp.asarray(K),
         jnp.asarray(mask),
         jax.random.PRNGKey(seed),
-        reproj_threshold_px=3.3,
-        num_hypotheses=128,
     )
     pose = np.eye(4, dtype=np.float32)
     pose[:3, :3] = np.asarray(res.R)
@@ -125,6 +142,28 @@ def eval_pose_errors(mk3d, mk2d, mask, K, pose_gt, seed):
         jnp.asarray(pose)[None], jnp.asarray(pose_gt)[None]
     )
     return float(R_err[0]), float(t_err[0]), int(res.num_inliers)
+
+
+def match_reproj_stats(mk3d, mk2d, mask, K, pose_gt):
+    """Residuals of predicted 2D match points vs the GT-pose projection of
+    their matched 3D points — separates "matches are wrong" from "PnP is
+    wrong" when accuracy is 0 (the round-3 triage instrument)."""
+    mask = np.asarray(mask, bool)
+    if mask.sum() == 0:
+        return {"n": 0}
+    X = np.asarray(mk3d)[mask]
+    x = np.asarray(mk2d)[mask]
+    R, t = pose_gt[:3, :3], pose_gt[:3, 3]
+    pc = X @ R.T + t
+    uvw = pc @ np.asarray(K).T
+    uv = uvw[:, :2] / np.clip(uvw[:, 2:3], 1e-6, None)
+    r = np.linalg.norm(uv - x, axis=1)
+    return {
+        "n": int(mask.sum()),
+        "median_px": float(np.median(r)),
+        "frac_lt3": float(np.mean(r < 3.0)),
+        "frac_lt8": float(np.mean(r < 8.0)),
+    }
 
 
 def main():
@@ -142,6 +181,18 @@ def main():
         help="JAX-only fast iteration (random JAX init, no torch training or "
         "eval) — for diagnosing the JAX training loop without the 2x-slower "
         "side-by-side run",
+    )
+    ap.add_argument(
+        "--tpu",
+        action="store_true",
+        help="run the JAX side on the TPU (use with --no-torch; the CPU pin "
+        "exists for bit-comparable torch numerics)",
+    )
+    ap.add_argument(
+        "--load-params",
+        default=None,
+        help="skip training; load params.msgpack saved by a previous run and "
+        "go straight to evaluation/diagnostics",
     )
     args = ap.parse_args()
 
@@ -235,6 +286,12 @@ def main():
             "max_matches": 256,
             "train_max_matches": 256,
             "train_pad_num_gt_min": 32,
+            # dense matching path even on TPU: at toy shapes (L=256 cells)
+            # the fused streaming kernels compile for ~5 min under Mosaic and
+            # win nothing; the dense path compiles in seconds and the
+            # log-space loss numerics are identical (production-scale fused
+            # parity is pinned by test_tpu_compiled.py)
+            "use_fused_kernel": False,
         },
         "compute_dtype": "float32",
     }
@@ -258,11 +315,13 @@ def main():
     # ---- same initial weights ----------------------------------------------
     sample0 = usable[0]
     jb0 = jax_batch(sample0)
-    variables = jx_model.init(
-        {"params": jax.random.PRNGKey(0), "matching": jax.random.PRNGKey(1)},
-        jb0,
-        train=True,
-    )
+    # jitted init: un-jitted flax init dispatches thousands of tiny ops — over
+    # the axon TPU tunnel that takes minutes (each op pays the relay RTT)
+    variables = jax.jit(
+        lambda r0, r1, b: jx_model.init(
+            {"params": r0, "matching": r1}, b, train=True
+        )
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), jb0)
     if use_torch:
         variables, report = convert_torch_state_dict(
             ref_model.state_dict(), variables, strict=True
@@ -309,10 +368,20 @@ def main():
         return {k: float(v) for k, v in sc.items()}
 
     # ---- train loop ----------------------------------------------------------
+    import flax.serialization
+
     curves = {"torch": [], "jax": []}
     order_rng = np.random.default_rng(1234)
     step = 0
     t0 = time.time()
+    if args.load_params:
+        with open(args.load_params, "rb") as fh:
+            restored = flax.serialization.from_bytes(
+                {"params": params, "batch_stats": batch_stats}, fh.read()
+            )
+        params, batch_stats = restored["params"], restored["batch_stats"]
+        print(f"loaded params from {args.load_params}; skipping training")
+        args.epochs = 0
     for epoch in range(args.epochs):
         order = order_rng.permutation(len(usable))
         ep_t, ep_j = [], []
@@ -335,6 +404,69 @@ def main():
             f"epoch {epoch:3d}: {t_part}jax loss {np.mean(ep_j):.4f} "
             f"max_conf {np.mean([c['max_conf'] for c in curves['jax'][-len(usable):]]):.3f}"
             f"  ({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+
+    os.makedirs(args.out, exist_ok=True)
+    if not args.load_params:
+        with open(os.path.join(args.out, "params.msgpack"), "wb") as fh:
+            fh.write(
+                flax.serialization.to_bytes(
+                    {"params": params, "batch_stats": batch_stats}
+                )
+            )
+        print(f"saved params -> {args.out}/params.msgpack")
+
+    # eval model: same params, eval-mode threshold
+    jx_eval = build_onepose_model({**jx_overrides, "match_coarse": {
+        **jx_overrides["match_coarse"], "thr": args.eval_thr}})
+    jx_eval_apply = jax.jit(
+        lambda p, bs, b: jx_eval.apply(
+            {"params": p, "batch_stats": bs}, b, train=False
+        )
+    )
+
+    # ---- train-frame diagnostics ----------------------------------------------
+    # Runs the EVAL-mode matcher on frames the model was trained on. Three
+    # numbers triage a 0.0 held-out metric:
+    #   cell_agree — predicted coarse matches landing on that sample's gt_cell
+    #     (low ⇒ eval path broken or model did not learn the objective),
+    #   reproj median — GT-pose reprojection residual of predicted matches
+    #     (small with 0 PnP inliers ⇒ PnP is the bug),
+    #   R/t — PnP on memorized frames (good here + bad held-out ⇒ pure
+    #     generalization gap, not a framework defect).
+    train_diag = []
+    for si, s in enumerate(usable[: min(6, len(usable))]):
+        out = jx_eval_apply(params, batch_stats, jax_batch(s))
+        mask = np.asarray(out["match_mask"][0]).astype(bool)
+        i_ids = np.asarray(out["i_ids"][0])[mask]
+        j_ids = np.asarray(out["j_ids"][0])[mask]
+        gt = s["gt_cell"][i_ids]
+        agree = float(np.mean(j_ids == gt)) if mask.sum() else 0.0
+        rs = match_reproj_stats(
+            np.asarray(out["mkpts_3d"][0]),
+            np.asarray(out["mkpts_query_f"][0]),
+            mask,
+            s["intrinsics"],
+            s["pose_gt"],
+        )
+        Rr, tr, inl = eval_pose_errors(
+            np.asarray(out["mkpts_3d"][0]),
+            np.asarray(out["mkpts_query_f"][0]),
+            mask,
+            s["intrinsics"],
+            s["pose_gt"],
+            1000 + si,
+        )
+        train_diag.append(
+            {"sample": si, "n": int(mask.sum()), "cell_agree": agree,
+             "reproj": rs, "R_deg": Rr, "t_cm": tr, "inliers": inl}
+        )
+        print(
+            f"  train s{si:02d}: {int(mask.sum())} m, cell_agree {agree:.2f}, "
+            f"reproj med {rs.get('median_px', -1):.1f}px "
+            f"(<3px {rs.get('frac_lt3', 0):.2f}) | R={Rr:7.2f} t={tr:6.2f} "
+            f"inl={inl}",
             flush=True,
         )
 
@@ -371,14 +503,11 @@ def main():
             np.random.default_rng(0),
         )["descriptors3d"]
 
-    # eval models: same params, eval-mode threshold
-    jx_eval = build_onepose_model({**jx_overrides, "match_coarse": {
-        **jx_overrides["match_coarse"], "thr": args.eval_thr}})
     if use_torch:
         ref_model.eval()
         ref_model.coarse_matching.thr = args.eval_thr
 
-    summary = {"frames": [], "five_cm_five_deg": {}}
+    summary = {"frames": [], "five_cm_five_deg": {}, "train_diag": train_diag}
     hits = {"torch": 0, "jax": 0}
     for fi in range(len(ids)):
         f = ids[fi]
@@ -390,9 +519,7 @@ def main():
         }
         if ccd is not None:
             b["descriptors3d_coarse"] = jnp.asarray(ccd)[None]
-        out = jx_eval.apply(
-            {"params": params, "batch_stats": batch_stats}, b, train=False
-        )
+        out = jx_eval_apply(params, batch_stats, b)
         mask = np.asarray(out["match_mask"][0]).astype(bool)
         Rj, tj, inlj = eval_pose_errors(
             np.asarray(out["mkpts_3d"][0]),
@@ -402,10 +529,17 @@ def main():
             f["pose_gt"],
             fi,
         )
+        rs_j = match_reproj_stats(
+            np.asarray(out["mkpts_3d"][0]),
+            np.asarray(out["mkpts_query_f"][0]),
+            mask,
+            f["K"],
+            f["pose_gt"],
+        )
         frame_rec = {
             "frame": fi,
             "jax": {"R_deg": Rj, "t_cm": tj, "inliers": inlj,
-                    "n": int(mask.sum())},
+                    "n": int(mask.sum()), "reproj": rs_j},
         }
         hits["jax"] += (Rj < 5) and (tj < 5)
         t_part = ""
@@ -439,7 +573,8 @@ def main():
         summary["frames"].append(frame_rec)
         print(
             f"  f{fi:02d} {t_part}"
-            f"jax R={Rj:7.2f} t={tj:6.2f} ({int(mask.sum())} m)",
+            f"jax R={Rj:7.2f} t={tj:6.2f} ({int(mask.sum())} m, "
+            f"reproj {rs_j.get('median_px', -1):.1f}px)",
             flush=True,
         )
 

@@ -210,6 +210,82 @@ class TestPnP:
             assert np.linalg.norm(np.asarray(res.t) - T[:3, 3]) < 0.05
             assert int(res.num_inliers) > 0.8 * vis.sum()
 
+    def test_quartic_solver_vs_numpy(self):
+        from onepose_plus_plus_tpu.geometry.pnp import _solve_quartic
+
+        rng = np.random.default_rng(11)
+        for _ in range(25):
+            c = rng.normal(0, 2, 5).astype(np.float32)
+            c[0] = np.sign(c[0]) * max(abs(c[0]), 0.3)
+            got = np.asarray(_solve_quartic(jnp.asarray(c)))
+            want = np.roots(c.astype(np.float64))
+            # nearest-match pairing (sort_complex mispairs conjugate twins
+            # whose real parts differ by float noise)
+            d = np.abs(got[:, None] - want[None, :]).min(axis=0)
+            assert d.max() < 2e-3, (c, got, want)
+
+    def test_p3p_exact_recovery(self):
+        from onepose_plus_plus_tpu.geometry.pnp import _fit_pose_p3p
+
+        rng = np.random.default_rng(5)
+        hits = 0
+        for trial in range(20):
+            K, pts, Ts = make_scene(rng, n_views=1, n_pts=3)
+            T = Ts[0]
+            uv, z = project_np(K, T, pts)
+            if (z <= 0.05).any():
+                continue
+            uvn = (uv - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+            R, t = _fit_pose_p3p(
+                jnp.asarray(pts, jnp.float32), jnp.asarray(uvn, jnp.float32)
+            )
+            R, t = np.asarray(R), np.asarray(t)
+            best = np.inf
+            for c in range(4):
+                if not np.isfinite(R[c]).all():
+                    continue
+                dR = R[c] @ T[:3, :3].T
+                ang = np.rad2deg(
+                    np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+                )
+                err = ang + 100 * np.linalg.norm(t[c] - T[:3, 3])
+                best = min(best, err)
+            if best < 1.0:
+                hits += 1
+        # a P3P candidate must contain the true pose virtually always
+        assert hits >= 17, hits
+
+    def test_few_matches_with_outliers(self):
+        """Round-3 regression: the trained toy matcher yields 5-8 confident
+        matches of which 1-2 are wrong. Six-point DLT samples are then always
+        contaminated and `num >= sample_size` rejects even perfect poses —
+        the P3P minimal hypotheses + min_inliers gate must recover these."""
+        rng = np.random.default_rng(21)
+        cap = 256
+        for n_valid, n_out in [(5, 1), (6, 1), (8, 2)]:
+            K, pts, Ts = make_scene(rng, n_views=1, n_pts=n_valid)
+            T = Ts[0]
+            uv, _ = project_np(K, T, pts)
+            uv[:n_out] += rng.uniform(30, 80, (n_out, 2))
+            p3 = np.zeros((cap, 3), np.float32)
+            p2 = np.zeros((cap, 2), np.float32)
+            msk = np.zeros(cap, bool)
+            p3[:n_valid], p2[:n_valid], msk[:n_valid] = pts, uv, True
+            res = ransac_pnp(
+                jnp.asarray(p3),
+                jnp.asarray(p2),
+                jnp.asarray(K, jnp.float32),
+                jnp.asarray(msk),
+                jax.random.PRNGKey(n_valid),
+                reproj_threshold_px=3.3,
+                num_hypotheses=128,
+            )
+            assert bool(res.ok), (n_valid, n_out, int(res.num_inliers))
+            dR = np.asarray(res.R) @ T[:3, :3].T
+            ang = np.rad2deg(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+            assert ang < 2.0, (n_valid, ang)
+            assert np.linalg.norm(np.asarray(res.t) - T[:3, 3]) < 0.05
+
     @pytest.mark.slow
     def test_degenerate_returns_not_ok(self):
         n = 16
