@@ -62,6 +62,7 @@ def main():
         "denser supervision and ~2x faster steps)",
     )
     ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--eval-thr", type=float, default=0.1)
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument(
         "--no-warp-adapt",
@@ -102,7 +103,11 @@ def main():
     )
     shape3d = args.shape3d or (7000 if tpu else 128)
     lr = args.lr or (None if tpu else 1e-3)
-    thr_ov = "model.match_coarse.thr=1e-4"  # trained conf: modest threshold
+    # trained-model confidence threshold: the reference evaluates at 0.1
+    # (configs/experiment/inference_onepose.yaml:70). The old 1e-4 here was a
+    # random-init relic — with a CONVERGED matcher it floods PnP with
+    # unsupervised-row junk (25% inlier fraction, round-3 diagnostics)
+    thr_ov = f"model.match_coarse.thr={args.eval_thr}"
 
     run_cli(
         "run.py",
