@@ -179,7 +179,7 @@ def inference(cfg) -> None:
             **pc_dev,
         }
         rng, sub = jax.random.split(rng)
-        poses, n_inl, ok, _, _ = step(batch, sub, None)
+        poses, n_inl, ok, _, _, _ = step(batch, sub, None)
         pose = np.asarray(poses[0])
         inliers_prev = int(np.asarray(n_inl[0]))
         pose_prev = pose if bool(np.asarray(ok[0])) else None

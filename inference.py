@@ -224,6 +224,12 @@ def inference(cfg) -> None:
                         "num_inliers": np.asarray(res.num_inliers).tolist()
                         if res.num_inliers is not None
                         else None,
+                        # confident matches fed to PnP: separates "matcher
+                        # found nothing off the mapped ring" (low) from
+                        # "matches present but mis-posed" (high + low inliers)
+                        "num_matches": np.asarray(res.num_matches).tolist()
+                        if res.num_matches is not None
+                        else None,
                     },
                     f,
                     indent=1,

@@ -301,16 +301,35 @@ def _solve_quartic(c: jnp.ndarray) -> jnp.ndarray:
     return roots
 
 
-def _kabsch(src: jnp.ndarray, dst: jnp.ndarray) -> tuple:
-    """Rigid transform R, t with ``R @ src + t ~= dst`` (proper rotation)."""
-    cs = jnp.mean(src, axis=0)
-    cd = jnp.mean(dst, axis=0)
-    H = (src - cs).T @ (dst - cd)
-    U, _, Vt = jnp.linalg.svd(H)
-    det = _det3(Vt.T @ U.T)
-    S = jnp.diag(jnp.array([1.0, 1.0, 1.0], src.dtype)).at[2, 2].set(det)
-    R = Vt.T @ S @ U.T
-    return R, cd - R @ cs
+def _triad(pts: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal frame [e1 e2 e3] (columns) spanned by 3 points.
+
+    e1 along P2-P1, e2 the orthogonalized P3-P1 direction, e3 their cross
+    product. Pure VPU arithmetic — no decompositions.
+    """
+    d1 = pts[1] - pts[0]
+    e1 = d1 / (jnp.linalg.norm(d1) + _EPS)
+    d2 = pts[2] - pts[0]
+    d2 = d2 - jnp.dot(e1, d2) * e1
+    e2 = d2 / (jnp.linalg.norm(d2) + _EPS)
+    e3 = jnp.cross(e1, e2)
+    return jnp.stack([e1, e2, e3], axis=1)
+
+
+def _align_three(src: jnp.ndarray, dst: jnp.ndarray) -> tuple:
+    """Rigid transform R, t with ``R @ src + t == dst`` for a 3-point set.
+
+    Closed-form orthonormal-triad construction: R = triad(dst) @ triad(src)^T.
+    Exact when the two triangles are congruent — which P3P guarantees, since
+    the camera-frame points are built from distances solving the
+    law-of-cosines system, so side lengths match the world triangle to solver
+    precision. Replaces an SVD Kabsch fit: at RANSAC scale (~98k 3x3 SVDs per
+    batch-48 step) the batched TPU SVD lowering alone cost ~1.5 s/step; this
+    form is a handful of fused VPU ops (round-3 verdict item #1).
+    """
+    R = _triad(dst) @ _triad(src).T
+    t = jnp.mean(dst, axis=0) - R @ jnp.mean(src, axis=0)
+    return R, t
 
 
 def _fit_pose_p3p(pts3d: jnp.ndarray, pts2dn: jnp.ndarray) -> tuple:
@@ -406,7 +425,7 @@ def _fit_pose_p3p(pts3d: jnp.ndarray, pts2dn: jnp.ndarray) -> tuple:
         jnp.stack([s1, ur * s1, vr * s1], axis=-1)[..., None]
         * f[None, :, :]
     )  # [4, 3(pts), 3(xyz)]
-    R, t = jax.vmap(lambda pc: _kabsch(pts3d, pc))(cam)
+    R, t = jax.vmap(lambda pc: _align_three(pts3d, pc))(cam)
     return R, t
 
 
@@ -471,6 +490,7 @@ def _gauss_newton_refine(
         "sample_size",
         "refine_iters",
         "planar_hypotheses",
+        "p3p_hypotheses",
     ),
 )
 def ransac_pnp(
@@ -594,6 +614,7 @@ def ransac_pnp_batch(
     reproj_threshold_px: float = 3.3,
     num_hypotheses: int = 512,
     planar_hypotheses: bool = True,
+    p3p_hypotheses: bool = True,
 ) -> PnPResult:
     """vmapped RANSAC PnP over a frame batch: [B, N, ...] -> batched PnPResult."""
     keys = jax.random.split(rng, pts3d.shape[0])
@@ -607,5 +628,6 @@ def ransac_pnp_batch(
             reproj_threshold_px=reproj_threshold_px,
             num_hypotheses=num_hypotheses,
             planar_hypotheses=planar_hypotheses,
+            p3p_hypotheses=p3p_hypotheses,
         )
     )(pts3d, pts2d, K, valid, keys)

@@ -30,6 +30,7 @@ class InferenceResult:
     poses: np.ndarray  # [F, 4, 4] predicted world->cam
     num_inliers: np.ndarray  # [F]
     ok: np.ndarray  # [F] bool
+    num_matches: Optional[np.ndarray] = None  # [F] confident matches into PnP
     R_errs: Optional[np.ndarray] = None  # [F] deg (when GT given)
     t_errs: Optional[np.ndarray] = None  # [F] cm
     metrics: Optional[dict] = None
@@ -41,11 +42,16 @@ def make_query_step(
     reproj_threshold_px: float = 3.3,
     num_hypotheses: int = 512,
     conf_threshold: float = 0.0,
+    planar_hypotheses: bool = True,
+    p3p_hypotheses: bool = True,
 ):
     """Build the jitted batched (match + PnP [+ errors]) device step.
 
     Returns fn(batch_dict, rng, pose_gt or None) ->
-        (poses [B, 4, 4], num_inliers [B], ok [B], R_err [B], t_err [B]).
+        (poses [B, 4, 4], num_inliers [B], ok [B], R_err [B], t_err [B],
+        num_matches [B] — confident matches fed to PnP, the held-out
+        diagnosis signal: low num_matches = matcher failure, high
+        num_matches with low num_inliers = pose-path/threshold failure).
     ``batch_dict`` carries query_image [B, H, W, 1], keypoints3d [B, S, 3],
     descriptors3d [B, S, 128], descriptors3d_coarse [B, S, 256], intrinsics
     [B, 3, 3]; GT errors are NaN when pose_gt is None.
@@ -85,6 +91,8 @@ def make_query_step(
                 key,
                 reproj_threshold_px=reproj_threshold_px,
                 num_hypotheses=num_hypotheses,
+                planar_hypotheses=planar_hypotheses,
+                p3p_hypotheses=p3p_hypotheses,
             )
         )(mkpts3d, mkpts2d, batch["intrinsics"], mask, keys)
 
@@ -92,12 +100,13 @@ def make_query_step(
         poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))
         poses = poses.at[:, :3, :3].set(res.R)
         poses = poses.at[:, :3, 3].set(res.t)
+        n_match = jnp.sum(mask, axis=-1).astype(jnp.int32)
 
         if pose_gt is None:
             nan = jnp.full((b,), jnp.nan, jnp.float32)
-            return poses, res.num_inliers, res.ok, nan, nan
+            return poses, res.num_inliers, res.ok, nan, nan, n_match
         R_err, t_err = batched_pose_errors(poses, pose_gt)
-        return poses, res.num_inliers, res.ok, R_err, t_err
+        return poses, res.num_inliers, res.ok, R_err, t_err, n_match
 
     return step
 
@@ -181,7 +190,7 @@ def run_inference(
     if desc_c is not None:
         pc["descriptors3d_coarse"] = put_pc(desc_c)
 
-    poses, inliers, oks, r_errs, t_errs = [], [], [], [], []
+    poses, inliers, oks, r_errs, t_errs, n_matches = [], [], [], [], [], []
     for s in range(0, len(frames), frame_batch):
         chunk = frames[s : s + frame_batch]
         pad = frame_batch - len(chunk)
@@ -207,18 +216,22 @@ def run_inference(
                 gt = shard_batch({"gt": gt}, mesh)["gt"]
         batch.update(pc)
         rng, sub = jax.random.split(rng)
-        p, ni, ok, re, te = step(batch, sub, gt)
+        p, ni, ok, re, te, nm = step(batch, sub, gt)
         n = len(chunk)
         poses.append(np.asarray(p)[:n])
         inliers.append(np.asarray(ni)[:n])
         oks.append(np.asarray(ok)[:n])
         r_errs.append(np.asarray(re)[:n])
         t_errs.append(np.asarray(te)[:n])
+        n_matches.append(np.asarray(nm)[:n])
 
     result = InferenceResult(
         poses=np.concatenate(poses) if poses else np.zeros((0, 4, 4)),
         num_inliers=np.concatenate(inliers) if inliers else np.zeros(0, np.int32),
         ok=np.concatenate(oks) if oks else np.zeros(0, bool),
+        num_matches=np.concatenate(n_matches)
+        if n_matches
+        else np.zeros(0, np.int32),
     )
     if has_gt and frames:
         result.R_errs = np.concatenate(r_errs)

@@ -132,6 +132,12 @@ class OnePosePlusModel(nn.Module):
             # is pinned compiled-on-chip by
             # test_tpu_compiled.py::test_fused_coarse_loss_parity_compiled
             use_fused = jax.default_backend() == "tpu"
+        if train and query_mask is not None:
+            # the fused focal-loss VJP kernels have no masked-column variant;
+            # masked training batches route through the dense log-space path
+            # (the production train config is mask-free, so the fused path
+            # stays the TPU default)
+            use_fused = False
         conf = None
         if use_fused:
             from ..ops.pallas_matching import fused_select_topk_matches
@@ -220,11 +226,7 @@ class OnePosePlusModel(nn.Module):
         elif train:
             # fused-loss context: losses.compute_losses routes the coarse
             # focal loss through the streaming VJP kernels on these features
-            if query_mask is not None:
-                raise ValueError(
-                    "query_image_mask is unsupported on the fused train path "
-                    "(set coarse_matching.use_fused_kernel=False)"
-                )
+            # (query_mask batches were routed to the dense path above)
             out["coarse_loss_ctx"] = {
                 "feats": (desc3d_c, feat_query_c),
                 "temperature": cfg.coarse_matching.temperature,

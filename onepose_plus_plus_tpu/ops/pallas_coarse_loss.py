@@ -114,9 +114,16 @@ def _tile_g(conf, logconf, gt, ll, valid, pos_coef, neg_coef, gamma):
     """g = dL/d(log conf) for one tile (cotangent-scaled class coefs)."""
     is_pos = (gt == ll) & valid
     dpos, dneg = _focal_dterms(conf, logconf, gamma)
-    return jnp.where(
+    g = jnp.where(
         is_pos, pos_coef * dpos, jnp.where(valid, neg_coef * dneg, 0.0)
     )
+    # where the forward's _LOGCAP clamp is active (conf >= 1 - ~1e-6) the
+    # capped forward is constant in sim, so the true derivative is 0 — the
+    # dense path's autodiff through jnp.minimum yields exactly that. Without
+    # this the uncapped chain rule injects the ~conf/(1-conf) ~ 1e6-scale
+    # dneg term at saturated cells and fused/XLA gradients diverge
+    # (round-3 advisor finding).
+    return jnp.where(logconf >= _LOGCAP, 0.0, g)
 
 
 # --------------------------- forward: loss sums -----------------------------

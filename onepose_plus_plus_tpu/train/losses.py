@@ -86,6 +86,12 @@ def coarse_focal_loss(
 
     if cfg.log_space:
         if log_conf is None:
+            # FALLBACK ONLY — log-space callers should pass log_conf from
+            # dual_softmax_log_confidence. Recovering it from conf cannot be
+            # made stable: once conf underflows f32 to exactly 0 at a GT cell,
+            # log(max(conf, 1e-38)) is constant there and the positive-term
+            # gradient dies — the same saturation failure log_space exists to
+            # fix, relocated from 1e-6 to ~1e-38 (round-3 advisor finding).
             log_conf = jnp.log(jnp.maximum(conf, 1e-38))
         # cap at log(1-1e-6) so the negative term's log1p stays finite and
         # the positive term stays >= 0

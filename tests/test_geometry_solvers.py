@@ -286,6 +286,52 @@ class TestPnP:
             assert ang < 2.0, (n_valid, ang)
             assert np.linalg.norm(np.asarray(res.t) - T[:3, 3]) < 0.05
 
+    def test_hypothesis_family_toggles(self):
+        """Every (planar, p3p) hypothesis-family combination must be
+        explicitly passable through the public API — both the single-frame
+        and batched entry points. Round-3 latent bug: p3p_hypotheses was
+        missing from static_argnames, so any caller passing it explicitly
+        crashed with TracerBoolConversionError and ransac_pnp_batch could
+        never toggle it."""
+        rng = np.random.default_rng(9)
+        n = 64
+        K, pts, Ts = make_scene(rng, n_views=2, n_pts=n)
+        T = Ts[0]
+        uv, _ = project_np(K, T, pts)
+        uv += rng.normal(0, 0.3, uv.shape)
+        for planar in (False, True):
+            for p3p in (False, True):
+                res = ransac_pnp(
+                    jnp.asarray(pts),
+                    jnp.asarray(uv),
+                    jnp.asarray(K),
+                    jnp.ones(n, bool),
+                    jax.random.PRNGKey(0),
+                    reproj_threshold_px=3.0,
+                    num_hypotheses=64,
+                    planar_hypotheses=planar,
+                    p3p_hypotheses=p3p,
+                )
+                assert bool(res.ok), (planar, p3p)
+                dR = np.asarray(res.R) @ T[:3, :3].T
+                ang = np.rad2deg(
+                    np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+                )
+                assert ang < 1.0, (planar, p3p, ang)
+        # batched entry point plumbs the toggles
+        res_b = ransac_pnp_batch(
+            jnp.asarray(pts)[None],
+            jnp.asarray(uv)[None],
+            jnp.asarray(K)[None],
+            jnp.ones((1, n), bool),
+            jax.random.PRNGKey(1),
+            reproj_threshold_px=3.0,
+            num_hypotheses=64,
+            planar_hypotheses=False,
+            p3p_hypotheses=True,
+        )
+        assert bool(np.asarray(res_b.ok)[0])
+
     @pytest.mark.slow
     def test_degenerate_returns_not_ok(self):
         n = 16

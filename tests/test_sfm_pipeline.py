@@ -188,6 +188,28 @@ class TestTriangulateScene:
         d = np.linalg.norm(xyz[:, None, :] - pts[None], axis=-1).min(axis=1)
         assert np.median(d) < 0.01
 
+    def test_clean_scene_quality_bands(self):
+        """Two-sided bands on model_stats for the committed synthetic scene.
+
+        Floor-only asserts let silent-degradation regressions of the round-2
+        Mosaic-bug class pass (round-3 verdict item #7): a kernel or threshold
+        change that drops half the observations, doubles reprojection error,
+        or triples the point count (split tracks) still clears `>= 30 points`.
+        Recorded values (deterministic seeds, CPU): num_points3D=63,
+        num_observations=293, mean_track_length=4.651,
+        mean_reprojection_error=0.374 px at 0.2 px injected noise. Bands are
+        +/- wide enough for cross-platform float noise, not behavior changes.
+        Parity instrument: reference COLMAP model_analyzer stats
+        (src/sfm_utils/triangulation.py:192-210).
+        """
+        scene, Ks, Ts, sizes, _ = self._scene(noise=0.2)
+        st = triangulate_scene(scene, Ks, Ts, sizes).stats
+        assert 55 <= st["num_points3D"] <= 72, st
+        assert 260 <= st["num_observations"] <= 330, st
+        assert 4.2 <= st["mean_track_length"] <= 5.2, st
+        assert 0.28 <= st["mean_reprojection_error"] <= 0.47, st
+        assert st["num_reg_images"] == 6, st
+
     def test_verification_rejects_outlier_matches(self):
         scene, Ks, Ts, sizes, pts = self._scene(noise=0.2, outlier_pair_frac=0.3)
         res = triangulate_scene(scene, Ks, Ts, sizes)

@@ -84,6 +84,9 @@ def train(cfg) -> None:
         loss=LossConfig(
             coarse_weight=cfg.loss.coarse_weight,
             fine_weight=cfg.loss.fine_weight_base,  # autoscale in compute_losses
+            # which coarse-loss semantics this config trains under — see the
+            # loss.log_space comment in configs/experiment/train.yaml
+            log_space=bool(cfg.loss.get("log_space", True)),
         ),
     )
     effective_bs = world_bs * grad_accum
