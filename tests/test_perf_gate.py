@@ -33,7 +33,7 @@ pytestmark = [
 # P3P triad-alignment fix (BASELINE.md round-4 row). A failure here means a
 # hot-path change (forward / matching / PnP) regressed the headline metric —
 # fix it or re-record BOTH this constant and BASELINE.md with justification.
-REFERENCE_STEP_MS = 230.0
+REFERENCE_STEP_MS = 241.0  # round-4 measured: bench.py 198.96 poses/sec
 SLACK = 1.3
 
 BATCH = 48
