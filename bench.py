@@ -17,9 +17,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import jax
+
+# Persistent compilation cache: the fused batch-48 query step is a ~8 min
+# cold XLA compile (the scan body inlines the full model + 3584-candidate
+# RANSAC); with the cache a re-run reloads it in seconds. Same dir the CLIs
+# use (utils/config_loader.py).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "onepose_jax_cache"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
