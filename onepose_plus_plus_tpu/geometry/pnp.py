@@ -491,6 +491,8 @@ def _gauss_newton_refine(
         "refine_iters",
         "planar_hypotheses",
         "p3p_hypotheses",
+        "prescore_subset",
+        "rescore_top",
     ),
 )
 def ransac_pnp(
@@ -506,6 +508,8 @@ def ransac_pnp(
     planar_hypotheses: bool = True,
     p3p_hypotheses: bool = True,
     min_inliers: int = 4,
+    prescore_subset: int = 128,
+    rescore_top: int = 64,
 ) -> PnPResult:
     """RANSAC PnP for one frame with fixed-capacity correspondences.
 
@@ -520,6 +524,17 @@ def ransac_pnp(
         valid: [N] bool mask of real (non-padded) correspondences.
         rng: PRNG key for hypothesis sampling.
         reproj_threshold_px: inlier threshold in pixels.
+        prescore_subset: when >0 and < N, rank ALL hypotheses by inlier
+            count on this many randomly-chosen valid correspondences, then
+            exact-rescore only the ``rescore_top`` best on the full set.
+            With all hypothesis families on (1 DLT + 2 planar + 4 P3P per
+            sample = 7*H candidates) the full [7H, N] scoring pass is the
+            PnP stage's dominant HBM traffic; the subsample cut reduces it
+            ~10x at N=1428 with no measurable accuracy change (the true
+            best hypothesis' inlier fraction separates it from junk by far
+            more than the Bernoulli noise of a 128-point subsample, and the
+            final winner among survivors is still chosen by full-set
+            count). Set 0 to score every hypothesis on every point.
     Returns:
         PnPResult with world->cam (R, t).
     """
@@ -573,13 +588,29 @@ def ransac_pnp(
         Rh = jnp.concatenate([Rh, Rp3.reshape(-1, 3, 3)], axis=0)
         th = jnp.concatenate([th, tp3.reshape(-1, 3)], axis=0)
 
-    errs = _reproj_errors(Rh, th, pts3d[None], pts2dn[None])  # [H, N]
-    inl = (errs <= thr2) & valid[None, :]
-    counts = jnp.sum(inl, axis=-1)
     # guard NaN poses
     finite = jnp.all(jnp.isfinite(Rh), axis=(-2, -1)) & jnp.all(
         jnp.isfinite(th), axis=-1
     )
+    if prescore_subset and prescore_subset < n:
+        # stage 1: rank every candidate on a random valid subsample
+        gs = jnp.where(valid, jax.random.gumbel(jax.random.fold_in(rng, 1), (n,)), -jnp.inf)
+        _, sub_idx = jax.lax.top_k(gs, prescore_subset)
+        sub_valid = valid[sub_idx]
+        errs_sub = _reproj_errors(
+            Rh, th, pts3d[sub_idx][None], pts2dn[sub_idx][None]
+        )  # [7H, S_sub]
+        cnt_sub = jnp.sum((errs_sub <= thr2) & sub_valid[None, :], axis=-1)
+        cnt_sub = jnp.where(finite, cnt_sub, -1)
+        keep = min(rescore_top, Rh.shape[0])
+        _, top_idx = jax.lax.top_k(cnt_sub, keep)
+        Rh, th = Rh[top_idx], th[top_idx]
+        finite = finite[top_idx]
+
+    # stage 2 (or only stage): exact scoring of the surviving candidates
+    errs = _reproj_errors(Rh, th, pts3d[None], pts2dn[None])  # [H', N]
+    inl = (errs <= thr2) & valid[None, :]
+    counts = jnp.sum(inl, axis=-1)
     counts = jnp.where(finite, counts, -1)
     best = jnp.argmax(counts)
 
@@ -615,6 +646,8 @@ def ransac_pnp_batch(
     num_hypotheses: int = 512,
     planar_hypotheses: bool = True,
     p3p_hypotheses: bool = True,
+    prescore_subset: int = 128,
+    rescore_top: int = 64,
 ) -> PnPResult:
     """vmapped RANSAC PnP over a frame batch: [B, N, ...] -> batched PnPResult."""
     keys = jax.random.split(rng, pts3d.shape[0])
@@ -629,5 +662,7 @@ def ransac_pnp_batch(
             num_hypotheses=num_hypotheses,
             planar_hypotheses=planar_hypotheses,
             p3p_hypotheses=p3p_hypotheses,
+            prescore_subset=prescore_subset,
+            rescore_top=rescore_top,
         )
     )(pts3d, pts2d, K, valid, keys)

@@ -44,6 +44,8 @@ def make_query_step(
     conf_threshold: float = 0.0,
     planar_hypotheses: bool = True,
     p3p_hypotheses: bool = True,
+    prescore_subset: int = 128,
+    rescore_top: int = 64,
 ):
     """Build the jitted batched (match + PnP [+ errors]) device step.
 
@@ -93,6 +95,8 @@ def make_query_step(
                 num_hypotheses=num_hypotheses,
                 planar_hypotheses=planar_hypotheses,
                 p3p_hypotheses=p3p_hypotheses,
+                prescore_subset=prescore_subset,
+                rescore_top=rescore_top,
             )
         )(mkpts3d, mkpts2d, batch["intrinsics"], mask, keys)
 

@@ -332,6 +332,61 @@ class TestPnP:
         )
         assert bool(np.asarray(res_b.ok)[0])
 
+    def test_prescore_subset_matches_full_scoring(self):
+        """Two-stage hypothesis scoring (subsample prescore -> exact rescore
+        of the survivors, round-4 perf item): must recover the same pose as
+        full [7H, N] scoring at high outlier fractions, and must stay correct
+        when fewer valid correspondences exist than the subsample size
+        (prescore then degenerates to scoring padded slots that the validity
+        mask zeroes out)."""
+        rng = np.random.default_rng(13)
+        n = 512
+        K, pts, Ts = make_scene(rng, n_views=1, n_pts=n)
+        T = Ts[0]
+        uv, _ = project_np(K, T, pts)
+        uv += rng.normal(0, 0.3, uv.shape)
+        uv[: int(0.4 * n)] = rng.uniform(0, 512, (int(0.4 * n), 2))
+        for prescore in (0, 128):
+            res = ransac_pnp(
+                jnp.asarray(pts),
+                jnp.asarray(uv),
+                jnp.asarray(K),
+                jnp.ones(n, bool),
+                jax.random.PRNGKey(2),
+                reproj_threshold_px=3.0,
+                num_hypotheses=256,
+                prescore_subset=prescore,
+            )
+            assert bool(res.ok), prescore
+            dR = np.asarray(res.R) @ T[:3, :3].T
+            ang = np.rad2deg(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+            assert ang < 0.5, (prescore, ang)
+            assert np.linalg.norm(np.asarray(res.t) - T[:3, 3]) < 0.02
+
+        # capacity > subsample size but only 6 valid slots: top_k fills the
+        # subsample with invalid indices, which sub_valid must neutralize
+        cap, n_valid = 512, 6
+        p3 = np.zeros((cap, 3), np.float32)
+        p2 = np.zeros((cap, 2), np.float32)
+        msk = np.zeros(cap, bool)
+        Kv, pv, Tv = make_scene(np.random.default_rng(14), n_views=1, n_pts=n_valid)
+        uvv, _ = project_np(Kv, Tv[0], pv)
+        p3[:n_valid], p2[:n_valid], msk[:n_valid] = pv, uvv, True
+        res = ransac_pnp(
+            jnp.asarray(p3),
+            jnp.asarray(p2),
+            jnp.asarray(Kv, jnp.float32),
+            jnp.asarray(msk),
+            jax.random.PRNGKey(3),
+            reproj_threshold_px=3.3,
+            num_hypotheses=128,
+            prescore_subset=128,
+        )
+        assert bool(res.ok)
+        dR = np.asarray(res.R) @ Tv[0][:3, :3].T
+        ang = np.rad2deg(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 2.0, ang
+
     @pytest.mark.slow
     def test_degenerate_returns_not_ok(self):
         n = 16
