@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from record_e2e import run_cli  # noqa: E402  (same CLI env handling)
 
 
-def build_object(data_dir, obj, seq_names, frames_per_seq, img, rng):
+def build_object(data_dir, obj, seq_names, frames_per_seq, img, rng, half=0.2):
     """Textured-cube render: sequences interleave camera-ring positions so
     test views sit between training views. The cube replaces round 2's
     single textured plane — that scene was doubly degenerate (all SfM points
@@ -43,7 +43,9 @@ def build_object(data_dir, obj, seq_names, frames_per_seq, img, rng):
     plane edge-on), which is what zeroed every metrics.txt."""
     from synthetic_scenes import make_cube_scene_object
 
-    make_cube_scene_object(data_dir, obj, seq_names, frames_per_seq, img, rng)
+    make_cube_scene_object(
+        data_dir, obj, seq_names, frames_per_seq, img, rng, half=half
+    )
 
 
 def main():
@@ -65,6 +67,17 @@ def main():
     ap.add_argument("--eval-thr", type=float, default=0.1)
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument(
+        "--objects",
+        type=int,
+        default=1,
+        help="number of synthetic objects (distinct textures/sizes). >1 "
+        "exercises the reference's multi-object surface end-to-end: one "
+        "merged train json across objects (merge.py), one training run, and "
+        "ONE inference.py invocation looping all objects through the shared "
+        "compiled step with per-object metrics + aggregate summary "
+        "(reference inference.py:20-209 object loop)",
+    )
+    ap.add_argument(
         "--no-warp-adapt",
         action="store_true",
         help="disable the homography warp doubling (reference image_warp_adapt;"
@@ -78,15 +91,23 @@ def main():
     epochs = args.epochs or (150 if tpu else 200)
     workdir = args.workdir or ("/tmp/overfit_e2e_tpu" if tpu else "/tmp/overfit_e2e")
 
-    obj = "0001-toy-box"
+    obj_names = ["0001-toy-box", "0002-toy-crate", "0003-toy-die"][: args.objects]
+    halves = [0.2, 0.15, 0.25]
     data_dir = os.path.join(workdir, "data")
     sfm_dir = os.path.join(workdir, "sfm_outputs")
     out_dir = os.path.join(workdir, "results")
     ckpt_dir = os.path.join(workdir, "ckpts")
     shutil.rmtree(workdir, ignore_errors=True)
-    build_object(
-        data_dir, obj, ("toy-1", "toy-2"), frames, img, np.random.default_rng(0)
-    )
+    for oi, obj in enumerate(obj_names):
+        build_object(
+            data_dir,
+            obj,
+            ("toy-1", "toy-2"),
+            frames,
+            img,
+            np.random.default_rng(oi),
+            half=halves[oi % len(halves)],
+        )
 
     # small-model overrides shared by train + inference (checkpoint must
     # load back into the identical architecture); TPU runs the full model
@@ -185,7 +206,10 @@ def main():
         tpu=tpu,
     )
 
-    art = os.path.join(REPO, "artifacts", "overfit_e2e_tpu" if tpu else "overfit_e2e")
+    base = "overfit_e2e_tpu" if tpu else "overfit_e2e"
+    if args.objects > 1:
+        base = f"multi_object_{'tpu' if tpu else 'cpu'}"
+    art = os.path.join(REPO, "artifacts", base)
     os.makedirs(art, exist_ok=True)
     shutil.copy(os.path.join(out_dir, "metrics.txt"), os.path.join(art, "metrics.txt"))
     import glob
@@ -198,6 +222,7 @@ def main():
         if tpu
         else "CPU (4 virtual devices), f32, reduced model",
         "scene": {
+            "objects": obj_names,
             "frames_per_seq": frames,
             "img": img,
             "train_seq": "toy-1",
