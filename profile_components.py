@@ -469,6 +469,110 @@ def main():
         print(f"fine stage: {bench(f, feat_f, centers, desc)*1e3:.1f} ms")
         return
 
+    if NAME == "bbparts":
+        # Per-stage backbone attribution at production shapes (roofline work,
+        # round-4 verdict item #4): times each trunk/FPN stage as its own
+        # program so the 95-vs-63-ms FLOP-floor gap can be localized. Inputs
+        # are stage-shaped random tensors; weights random. FLOP floors at
+        # batch 48, 512^2, v5e 197 TFLOP/s bf16 are printed alongside.
+        from jax import lax
+
+        bf = jnp.bfloat16
+        B = BATCH
+
+        def conv(x, w, stride=1):
+            return lax.conv_general_dilated(
+                x, w, (stride, stride), "SAME",
+                dimension_numbers=lax.conv_dimension_numbers(
+                    x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+                ),
+            )
+
+        def w(kh, cin, cout):
+            return jnp.asarray(
+                rng.standard_normal((kh, kh, cin, cout)) * 0.05, bf
+            )
+
+        def basic_pair(x, cin, cmid, stride):
+            # one BasicBlock pair (stride s then 1) without BN (BN fuses into
+            # the conv at inference; its cost is what we want included in the
+            # dense-conv number anyway via the elementwise epilogue)
+            w1, w2 = w(3, cin, cmid), w(3, cmid, cmid)
+            w3, w4 = w(3, cmid, cmid), w(3, cmid, cmid)
+            wd = w(1, cin, cmid)
+            y = jax.nn.relu(conv(x, w1, stride))
+            y = conv(y, w2)
+            sc = conv(x, wd, stride) if stride != 1 else x
+            x = jax.nn.relu(sc + y)
+            y = jax.nn.relu(conv(x, w3))
+            y = conv(y, w4)
+            return jax.nn.relu(x + y)
+
+        img = jnp.asarray(rng.random((B, IMG, IMG, 1), np.float32), bf)
+        x0 = jnp.asarray(rng.standard_normal((B, 256, 256, 128)), bf)
+        x2 = jnp.asarray(rng.standard_normal((B, 128, 128, 196)), bf)
+        x3 = jnp.asarray(rng.standard_normal((B, 64, 64, 256)), bf)
+
+        w_stem = w(7, 1, 128)
+        stages = {
+            "stem 7x7/2 1->128 @512^2": (
+                lambda x, k: jax.nn.relu(
+                    conv(x + (k * 1e-9).astype(bf), w_stem, 2)
+                ),
+                img, 0.020,
+            ),
+            "layer1 4x conv3 128 @256^2": (
+                lambda x, k: basic_pair(x + (k * 1e-9).astype(bf), 128, 128, 1),
+                x0, 3.71,
+            ),
+            "layer2 (s2) -> 196 @128^2": (
+                lambda x, k: basic_pair(x + (k * 1e-9).astype(bf), 128, 196, 2),
+                x0, 1.99,
+            ),
+            "layer3 (s2) -> 256 @64^2": (
+                lambda x, k: basic_pair(x + (k * 1e-9).astype(bf), 196, 256, 2),
+                x2, 0.86,
+            ),
+        }
+        # FPN mid level (1/4): lateral 1x1 + upsample-add + 3x3 pair
+        from onepose_plus_plus_tpu.ops.upsample import upsample2x_align_corners
+
+        wl2, wa, wb = w(1, 196, 256), w(3, 256, 256), w(3, 256, 196)
+
+        def fpn_mid(x, k):
+            lat = conv(x + (k * 1e-9).astype(bf), wl2)
+            up = upsample2x_align_corners(
+                jnp.asarray(rng.standard_normal((B, 64, 64, 256)), bf)
+            )
+            y = jax.nn.leaky_relu(conv(lat + up, wa), 0.01)
+            return conv(y, wb)
+
+        stages["fpn mid (1/4) lat+up+3x3 pair"] = (fpn_mid, x2, 1.78)
+
+        wl1, wc, wd2 = w(1, 128, 196), w(3, 196, 196), w(3, 196, 128)
+
+        def fpn_fine(x, k):
+            lat = conv(x + (k * 1e-9).astype(bf), wl1)
+            up = upsample2x_align_corners(
+                jnp.asarray(rng.standard_normal((B, 128, 128, 196)), bf)
+            )
+            y = jax.nn.leaky_relu(conv(lat + up, wc), 0.01)
+            return conv(y, wd2)
+
+        stages["fpn fine (1/2) lat+up+3x3 pair"] = (fpn_fine, x0, 3.93)
+
+        total = 0.0
+        for label, (fn, inp, tflop) in stages.items():
+            t = bench(jax.jit(fn), inp) * 1e3
+            total += t
+            floor = tflop * (B / 48) / 197.0 * 1e3
+            print(
+                f"{label}: {t:.1f} ms (FLOP {tflop * (B / 48):.2f} T, "
+                f"floor {floor:.1f} ms, {floor / max(t, 1e-9) * 100:.0f}% MXU)"
+            )
+        print(f"bbparts sum: {total:.1f} ms")
+        return
+
     if NAME == "pnp":
         from onepose_plus_plus_tpu.geometry.pnp import ransac_pnp
 
