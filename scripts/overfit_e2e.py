@@ -78,6 +78,19 @@ def main():
         "(reference inference.py:20-209 object loop)",
     )
     ap.add_argument(
+        "--train-chunk",
+        type=int,
+        default=None,
+        help="max epochs per training PROCESS (TPU default 40, CPU off). The "
+        "axon tunnel client leaks ~1x the uploaded bytes of HOST memory per "
+        "device_put (measured: 46 MB RSS per 45 MB upload, never freed), so "
+        "a long on-chip training run accumulates ~45 MB x steps and the OOM "
+        "killer takes it out around 2900 steps on this 125 GB host. Chunking "
+        "restarts the process every N epochs via the trainer's own "
+        "resume-from-last_state path; results are bit-identical to one run "
+        "(epoch-derived rng, restored opt state)",
+    )
+    ap.add_argument(
         "--no-warp-adapt",
         action="store_true",
         help="disable the homography warp doubling (reference image_warp_adapt;"
@@ -158,33 +171,39 @@ def main():
         tpu=tpu,
     )
     exp = "overfit"
-    run_cli(
-        "train_onepose_plus.py",
-        [
-            "+experiment=train",
-            f"exp_name={exp}",
-            f"dataset.train_anno_file={train_json}",
-            f"dataset.img_resize={img}",
-            f"dataset.shape3d_train={shape3d}",
-            f"dataset.image_warp_adapt={'false' if args.no_warp_adapt else 'true'}",
-            "dataset.val_anno_file=null",
-            f"trainer.epochs={epochs}",
-            f"trainer.batch_size={4 if tpu else 1}",
-            "trainer.grad_accum=1",
-            f"trainer.n_devices={1 if tpu else 4}",
-            "trainer.log_every_n_steps=20",
-            "trainer.enable_plotting=false",
-            # overfit: constant LR (no decay milestones inside the budget);
-            # CPU prototype runs hotter to converge inside the wall budget
-            "trainer.milestones=[1000]",
-            *([f"trainer.canonical_lr={lr}"] if lr else []),
-            f"ckpt_dir={ckpt_dir}",
-            f"log_dir={os.path.join(workdir, 'logs')}",
-        ]
-        + model_ov,
-        tpu=tpu,
-        timeout=6 * 3600,  # the 128px/80-epoch CPU training runs ~2h
-    )
+    chunk = args.train_chunk if args.train_chunk is not None else (40 if tpu else 0)
+    done = 0
+    while done < epochs:
+        upto = min(done + chunk, epochs) if chunk else epochs
+        run_cli(
+            "train_onepose_plus.py",
+            [
+                "+experiment=train",
+                f"exp_name={exp}",
+                f"dataset.train_anno_file={train_json}",
+                f"dataset.img_resize={img}",
+                f"dataset.shape3d_train={shape3d}",
+                f"dataset.image_warp_adapt={'false' if args.no_warp_adapt else 'true'}",
+                "dataset.val_anno_file=null",
+                f"trainer.epochs={upto}",
+                f"trainer.batch_size={4 if tpu else 1}",
+                "trainer.grad_accum=1",
+                f"trainer.n_devices={1 if tpu else 4}",
+                "trainer.log_every_n_steps=20",
+                "trainer.enable_plotting=false",
+                # overfit: constant LR (no decay milestones inside the budget);
+                # CPU prototype runs hotter to converge inside the wall budget
+                "trainer.milestones=[1000]",
+                *([f"trainer.canonical_lr={lr}"] if lr else []),
+                *(["trainer.resume=true"] if done else []),
+                f"ckpt_dir={ckpt_dir}",
+                f"log_dir={os.path.join(workdir, 'logs')}",
+            ]
+            + model_ov,
+            tpu=tpu,
+            timeout=6 * 3600,  # the 128px/80-epoch CPU training runs ~2h
+        )
+        done = upto
     weights = os.path.join(ckpt_dir, exp, "last")
     run_cli(
         "inference.py",
