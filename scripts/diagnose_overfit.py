@@ -46,15 +46,23 @@ def main():
     ap.add_argument("--thr", type=float, default=1e-4)
     ap.add_argument("--obj", default="0001-toy-box")
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument(
+        "--tpu",
+        action="store_true",
+        help="diagnose the PRODUCTION model/checkpoint on the chip (full "
+        "architecture, bf16; --img 512 --shape3d 7000) instead of the "
+        "reduced CPU prototype",
+    )
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     import jax
 
-    # jax is pre-imported by the environment's sitecustomize (axon TPU
-    # platform); rebind to CPU on the live config or ops block on the tunnel
-    jax.config.update("jax_platforms", "cpu")
+    if not args.tpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        # jax is pre-imported by the environment's sitecustomize (axon TPU
+        # platform); rebind to CPU on the live config or ops block on tunnel
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from onepose_plus_plus_tpu.data.dataset import OnePosePlusInferenceDataset
@@ -64,16 +72,21 @@ def main():
     from onepose_plus_plus_tpu.models.build import build_onepose_model
     from onepose_plus_plus_tpu.utils import load_checkpoint
 
-    model_overrides = {
-        "loftr_coarse": {"layer_iter_n": 2},
-        "match_coarse": {
-            "max_matches": 256,
-            "train_max_matches": 256,
-            "train_pad_num_gt_min": 32,
-            "thr": args.thr,
-        },
-        "compute_dtype": "float32",
-    }
+    if args.tpu:
+        # the production architecture the TPU chain trains (no structural
+        # overrides — the checkpoint must load back identically)
+        model_overrides = {"match_coarse": {"thr": args.thr}}
+    else:
+        model_overrides = {
+            "loftr_coarse": {"layer_iter_n": 2},
+            "match_coarse": {
+                "max_matches": 256,
+                "train_max_matches": 256,
+                "train_pad_num_gt_min": 32,
+                "thr": args.thr,
+            },
+            "compute_dtype": "float32",
+        }
     model = build_onepose_model(model_overrides)
     ckpt = args.ckpt or os.path.join(args.workdir, "ckpts", "overfit", "last")
     variables = load_checkpoint(ckpt)
@@ -112,11 +125,15 @@ def main():
         stride = 8
         s_grid = args.img // stride
         agg = dict(nm=[], prec=[], reproj=[], R=[], t=[], inl=[])
+
+        # jit the forward: un-jitted apply dispatches op-by-op, which over
+        # the axon tunnel is one round-trip per op (minutes per frame)
+        fwd = jax.jit(lambda b: model.apply(variables, b, train=False))
         for fi in range(len(ds)):
             f = ds[fi]
             batch = dict(batch_pc)
             batch["query_image"] = jnp.asarray(f["image"])[None, ..., None]
-            out = model.apply(variables, batch, train=False)
+            out = fwd(batch)
             mask = np.asarray(out["match_mask"][0]).astype(bool)
             i_ids = np.asarray(out["i_ids"][0])
             mk3d = np.asarray(out["mkpts_3d"][0])
@@ -134,6 +151,11 @@ def main():
                 + np.round(uv[:, 0] / stride).astype(int)
             )
             nm = int(mask.sum())
+            # fraction of matches hitting REAL SfM points (padded fake slots
+            # occupy indices >= n_real and have zero descriptors — a high
+            # fake fraction means the confidence is latching onto padding)
+            n_real = ds.annotation["keypoints3d"].shape[0]
+            freal = float((i_ids[mask] < n_real).mean()) if nm else 0.0
             prec = float((gt_cell[mask] == j_ids[mask]).mean()) if nm else 0.0
             reproj = (
                 float(np.linalg.norm(uv[mask] - mk2d[mask], axis=1).mean())
@@ -157,6 +179,7 @@ def main():
                 jnp.asarray(pose)[None], jnp.asarray(T)[None]
             )
             agg["nm"].append(nm)
+            agg.setdefault("freal", []).append(freal)
             agg["prec"].append(prec)
             agg["reproj"].append(reproj)
             agg["R"].append(float(R_err[0]))
@@ -164,12 +187,13 @@ def main():
             agg["inl"].append(int(res.num_inliers))
             print(
                 f"  f{fi:02d}: matches={nm:4d} conf={conf[mask].mean() if nm else 0:.3f} "
-                f"prec={prec:.2f} reproj={reproj:6.1f}px "
+                f"real={freal:.2f} prec={prec:.2f} reproj={reproj:6.1f}px "
                 f"PnP inl={int(res.num_inliers):4d} R={float(R_err[0]):7.2f}deg "
                 f"t={float(t_err[0]):7.2f}cm"
             )
         print(
-            f"  mean: matches={np.mean(agg['nm']):.0f} prec={np.mean(agg['prec']):.2f} "
+            f"  mean: matches={np.mean(agg['nm']):.0f} "
+            f"real={np.mean(agg['freal']):.2f} prec={np.mean(agg['prec']):.2f} "
             f"reproj={np.nanmean(agg['reproj']):.1f}px R={np.mean(agg['R']):.1f}deg "
             f"t={np.mean(agg['t']):.1f}cm "
             f"5cm5deg={np.mean((np.array(agg['R']) < 5) & (np.array(agg['t']) < 5)):.2f}"

@@ -125,6 +125,32 @@ class TestTrainDataset:
         # warped example still has a usable amount of supervision
         assert (warped["gt_cell"] >= 0).sum() > 10
 
+    def test_warp_adaptation_is_epoch_fresh(self, object_dir):
+        """Round-4 held-out root cause: a fixed per-index warp makes the
+        doubled dataset 2N STATIC images, which a long schedule memorizes
+        (on-chip diagnosis: cell-precision 0.40 mapped / 0.06 held-out at
+        conf 0.64). set_epoch must yield a different homography per epoch
+        for the warped half, same within an epoch, and leave the unwarped
+        half untouched."""
+        records, *_ = object_dir
+        ds = OnePosePlusTrainDataset(
+            records, img_size=128, shape3d=64, image_warp_adapt=True
+        )
+        ds.set_epoch(0)
+        w0 = ds[1]["query_image"]
+        plain0 = ds[0]["query_image"]
+        w0_again = ds[1]["query_image"]
+        np.testing.assert_array_equal(w0, w0_again)  # deterministic in-epoch
+        ds.set_epoch(1)
+        w1 = ds[1]["query_image"]
+        plain1 = ds[0]["query_image"]
+        assert not np.allclose(w0, w1)  # fresh warp per epoch
+        np.testing.assert_array_equal(plain0, plain1)  # originals static
+        # the loader plumbs the epoch through
+        loader = TrainLoader(ds, batch_size=2, num_workers=0)
+        next(loader.epoch(3))
+        assert ds._epoch == 3
+
     def test_loader_batches(self, object_dir):
         records, *_ = object_dir
         ds = OnePosePlusTrainDataset(records, img_size=128, shape3d=32)
