@@ -48,9 +48,12 @@ def run_cli(script, args, tpu=False, timeout=3600):
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     print(f"== {script} {' '.join(args)}", flush=True)
-    # stream stage output to a log file so long stages are observable live
+    # stream stage output to a log file so long stages are observable live;
+    # keyed by the driver pid so concurrent chains (e.g. a TPU run and a CPU
+    # cross-check) don't clobber each other's stage logs
     log_path = os.path.join(
-        env.get("E2E_LOG_DIR", "/tmp"), f"e2e_{os.path.basename(script)}.log"
+        env.get("E2E_LOG_DIR", "/tmp"),
+        f"e2e_{os.path.basename(script)}.{os.getpid()}.log",
     )
     with open(log_path, "w") as lf:
         r = subprocess.run(
