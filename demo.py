@@ -54,6 +54,12 @@ def inference(cfg) -> None:
         return
     obj_dir = obj_dirs[0]
     obj_name = os.path.basename(obj_dir)
+    # early startup line (watchdog sentinel): backend init survived the axon
+    # relay dial; everything after may sit in a multi-minute first compile
+    print(
+        f"demo: {obj_name} on {[d.platform for d in jax.devices()]}",
+        flush=True,
+    )
     anno_path = os.path.join(sfm_dir, obj_name, "anno", "anno_3d_average.npz")
     seqs = [
         s

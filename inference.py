@@ -108,6 +108,15 @@ def inference(cfg) -> None:
     if not objects:
         print(f"no evaluable objects under {cfg.dataset.data_dir}")
         return
+    # early startup line: proves the process got past jax backend init (the
+    # axon relay dial can deadlock a child at interpreter start) and shows
+    # the evaluation scope before the first — possibly multi-minute — compile
+    print(
+        f"evaluating {len(objects)} object(s) on "
+        f"{[d.platform for d in jax.devices()]}: "
+        f"{[o[0] for o in objects]}",
+        flush=True,
+    )
 
     model = build_onepose_model(dict(cfg.get("model", {}) or {}))
     weights_path = cfg.get_path("network.onepose_weights")

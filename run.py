@@ -91,6 +91,15 @@ def sfm(cfg) -> None:
     if n_shards > 1:
         objects = objects[shard::n_shards]
         print(f"shard {shard}/{n_shards}: {len(objects)} objects")
+    # early startup line: proves jax backend init got past the axon relay
+    # dial (which can deadlock a child interpreter) before the first compile
+    import jax
+
+    print(
+        f"mapping {len(objects)} object(s) on "
+        f"{[d.platform for d in jax.devices()]}",
+        flush=True,
+    )
 
     matcher = build_loftr_matcher(dict(cfg.get("model", {}) or {}))
     weights_path = cfg.get_path("network.loftr_weights")

@@ -27,6 +27,7 @@ import os
 import shutil
 import subprocess
 import sys
+import time
 
 import numpy as np
 
@@ -34,7 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
-def run_cli(script, args, tpu=False, timeout=3600):
+def run_cli(script, args, tpu=False, timeout=3600, dial_timeout=300):
     env = dict(os.environ)
     if not tpu:
         env["JAX_PLATFORMS"] = "cpu"
@@ -47,6 +48,12 @@ def run_cli(script, args, tpu=False, timeout=3600):
         )
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    # unbuffered child stdout: with block-buffered pipes a stage that prints
+    # its startup line and then sits in a 20+ min server-side compile looks
+    # identical to a hung interpreter (observed: a trainer presumed dead at
+    # 28 min silent had actually trained 9 epochs — all output sat in the
+    # 8 KB buffer)
+    env["PYTHONUNBUFFERED"] = "1"
     print(f"== {script} {' '.join(args)}", flush=True)
     # stream stage output to a log file so long stages are observable live;
     # keyed by the driver pid so concurrent chains (e.g. a TPU run and a CPU
@@ -55,11 +62,56 @@ def run_cli(script, args, tpu=False, timeout=3600):
         env.get("E2E_LOG_DIR", "/tmp"),
         f"e2e_{os.path.basename(script)}.{os.getpid()}.log",
     )
-    with open(log_path, "w") as lf:
-        r = subprocess.run(
-            [sys.executable, script] + args, cwd=REPO, env=env, text=True,
-            stdout=lf, stderr=subprocess.STDOUT, timeout=timeout,
-        )
+    # TPU children can also hit the relay-dial deadlock at interpreter start
+    # (same failure run_cli already shields CPU children from by popping
+    # PALLAS_AXON_POOL_IPS). Watchdog: every CLI prints a startup line
+    # before its first device compile (run.py "mapping", inference.py
+    # "evaluating", demo.py "demo:", trainer "devices="); if the child
+    # writes no non-absl output within dial_timeout, kill and retry. A
+    # stage past its startup line is never killed — long server-side
+    # compiles (20+ min cold for the fused train step) are legitimate.
+    for attempt in range(4):
+        with open(log_path, "w") as lf:
+            p = subprocess.Popen(
+                [sys.executable, script] + args, cwd=REPO, env=env, text=True,
+                stdout=lf, stderr=subprocess.STDOUT,
+            )
+            deadline = time.time() + timeout
+            stuck = False
+            while True:
+                try:
+                    p.wait(timeout=15)
+                    break
+                except subprocess.TimeoutExpired:
+                    pass
+                if time.time() > deadline:
+                    p.kill()
+                    p.wait()
+                    raise SystemExit(f"{script} timed out ({timeout}s)")
+                started = time.time() - deadline + timeout
+                if tpu and started > dial_timeout and not stuck:
+                    out = open(log_path).read()
+                    progressed = any(
+                        line and not line.startswith(("WARNING", "I0000"))
+                        for line in out.splitlines()
+                    )
+                    if not progressed:
+                        stuck = True
+                        print(
+                            f"WATCHDOG: {script} silent {int(started)}s "
+                            f"(relay-dial deadlock) — retrying "
+                            f"({attempt + 1}/4)",
+                            flush=True,
+                        )
+                        p.kill()
+                        p.wait()
+                        time.sleep(5)
+        if stuck:
+            continue
+        r = p
+        break
+    else:
+        raise SystemExit(f"{script} stuck at relay dial after 4 attempts")
     r.stdout = open(log_path).read()
     r.stderr = ""
     if r.returncode != 0:
