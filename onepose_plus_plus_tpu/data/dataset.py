@@ -123,6 +123,7 @@ class OnePosePlusTrainDataset:
         shape3d: int = 7000,
         coarse_stride: int = 8,
         image_warp_adapt: bool = False,
+        image_warp_all: bool = False,
         load_coarse_descriptors: bool = True,
         augmentor=None,
         seed: int = 0,
@@ -132,6 +133,15 @@ class OnePosePlusTrainDataset:
         self.shape3d = shape3d
         self.coarse_stride = coarse_stride
         self.image_warp_adapt = image_warp_adapt
+        # warp the "original" half too (each half gets an independent
+        # epoch-fresh homography). The reference's image_warp_adapt keeps
+        # originals + warped copies; with few mapping views that leaves a
+        # positional-encoding lookup shortcut on the static half — measured
+        # epoch-40 5cm@5deg: 0.96 on mapped views vs 0.04 held-out, with the
+        # held-out high-confidence matches being wrong (view memorization).
+        # Warping every sample removes the static-view channel entirely, so
+        # confidence can only come from appearance.
+        self.image_warp_all = image_warp_all
         self.load_coarse = load_coarse_descriptors
         self.augmentor = augmentor
         self.seed = seed
@@ -187,11 +197,13 @@ class OnePosePlusTrainDataset:
 
     def __getitem__(self, index: int) -> dict:
         warped = False
+        half = 0
         if self.image_warp_adapt:
-            warped = (index % 2) == 1
+            half = index % 2
+            warped = half == 1 or self.image_warp_all
             index //= 2
         rec = self.records[index]
-        rng = np.random.default_rng(self.seed * 1_000_003 + index * 2 + warped)
+        rng = np.random.default_rng(self.seed * 1_000_003 + index * 2 + half)
 
         img, K = self._load_image(rec)
         anno = self._load_anno(rec.avg_anno3d_file)
@@ -244,8 +256,11 @@ class OnePosePlusTrainDataset:
             # see set_epoch. Separate generator so every other draw in this
             # example (point padding, GT subsampling) keeps its original
             # per-index stream.
+            # `half` keys the stream so with image_warp_all the two copies
+            # of a record draw INDEPENDENT homographies (still 2N distinct
+            # geometries per epoch)
             wrng = np.random.default_rng(
-                (self.seed, 7, index, self._epoch)
+                (self.seed, 7, index, half, self._epoch)
             )
             H = sample_homography(self.img_size, self.img_size, wrng)
             img = warp_image(img, H)

@@ -151,6 +151,45 @@ class TestTrainDataset:
         next(loader.epoch(3))
         assert ds._epoch == 3
 
+    def test_warp_all_warps_both_halves_independently(self, object_dir):
+        """image_warp_all removes the static-original channel: with few
+        mapping views the unwarped half is a positional-encoding view-lookup
+        shortcut (epoch-40 on-chip diagnosis: 0.96 mapped vs 0.04 held-out
+        5cm@5deg). Both halves must be warped, with INDEPENDENT epoch-fresh
+        homographies, and keep usable GT supervision."""
+        records, *_ = object_dir
+        ds = OnePosePlusTrainDataset(
+            records, img_size=128, shape3d=64, image_warp_adapt=True
+        )
+        da = OnePosePlusTrainDataset(
+            records,
+            img_size=128,
+            shape3d=64,
+            image_warp_adapt=True,
+            image_warp_all=True,
+        )
+        da.set_epoch(0)
+        ds.set_epoch(0)
+        h0, h1 = da[0], da[1]
+        # half 0 is now warped (differs from the static original)...
+        assert not np.allclose(h0["query_image"], ds[0]["query_image"])
+        # ...with a DIFFERENT homography than half 1 of the same record
+        assert not np.allclose(h0["query_image"], h1["query_image"])
+        # epoch-fresh on the formerly-static half too
+        da.set_epoch(1)
+        assert not np.allclose(h0["query_image"], da[0]["query_image"])
+        # warped-GT consistency: both halves keep usable supervision
+        assert (h0["gt_cell"] >= 0).sum() > 10
+        assert (h1["gt_cell"] >= 0).sum() > 10
+        # half 1's warp stream is unchanged by the flag (same epoch-keyed
+        # generator family as image_warp_adapt alone)
+        np.testing.assert_array_equal(
+            ds[1]["query_image"], OnePosePlusTrainDataset(
+                records, img_size=128, shape3d=64, image_warp_adapt=True,
+                image_warp_all=True,
+            )[1]["query_image"],
+        )
+
     def test_loader_batches(self, object_dir):
         records, *_ = object_dir
         ds = OnePosePlusTrainDataset(records, img_size=128, shape3d=32)

@@ -101,6 +101,7 @@ def train(cfg) -> None:
         img_size=cfg.dataset.img_resize,
         shape3d=cfg.dataset.shape3d_train,
         image_warp_adapt=cfg.dataset.image_warp_adapt,
+        image_warp_all=bool(cfg.dataset.get("image_warp_all", False)),
         augmentor=build_augmentor(cfg.dataset.augmentor, cfg.seed),
         seed=cfg.seed,
     )
