@@ -54,6 +54,8 @@ def merge_annotations(sfm_outputs_dir: str, out_file: str, split_objects=None):
 
 
 def merge(cfg) -> None:
+    # startup sentinel (watchdog: interpreter survived the axon relay dial)
+    print(f"merging annotations from {cfg.dataset.sfm_outputs_dir}", flush=True)
     merge_annotations(
         cfg.dataset.sfm_outputs_dir,
         cfg.dataset.out_train_file,

@@ -140,7 +140,8 @@ class OnePosePlusTrainDataset:
         # epoch-40 5cm@5deg: 0.96 on mapped views vs 0.04 held-out, with the
         # held-out high-confidence matches being wrong (view memorization).
         # Warping every sample removes the static-view channel entirely, so
-        # confidence can only come from appearance.
+        # confidence can only come from appearance. Without image_warp_adapt
+        # this warps every (undoubled) sample rather than silently no-opping.
         self.image_warp_all = image_warp_all
         self.load_coarse = load_coarse_descriptors
         self.augmentor = augmentor
@@ -202,6 +203,9 @@ class OnePosePlusTrainDataset:
             half = index % 2
             warped = half == 1 or self.image_warp_all
             index //= 2
+        elif self.image_warp_all:
+            # warp_all without warp_adapt: every sample warped, no doubling
+            warped = True
         rec = self.records[index]
         rng = np.random.default_rng(self.seed * 1_000_003 + index * 2 + half)
 

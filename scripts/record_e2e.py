@@ -70,13 +70,22 @@ def run_cli(script, args, tpu=False, timeout=3600, dial_timeout=300):
     # writes no non-absl output within dial_timeout, kill and retry. A
     # stage past its startup line is never killed — long server-side
     # compiles (20+ min cold for the fused train step) are legitimate.
+    # every CLI prints a flushed sentinel line once past backend init (run.py
+    # "mapping", inference.py "evaluating", demo.py "demo:", the trainer
+    # "devices=", merge.py "merging") — match THOSE, not "any non-absl line":
+    # pre-jax-init output (run.py's "shard k/n", absl W0000/E0000) would
+    # otherwise mask a genuine relay-dial deadlock from the watchdog
+    sentinels = ("mapping", "evaluating", "demo:", "devices=", "merging")
+    # one deadline for the whole stage: timeout bounds total wall time
+    # including watchdog retries, not per-attempt
+    deadline = time.time() + timeout
     for attempt in range(4):
         with open(log_path, "w") as lf:
             p = subprocess.Popen(
                 [sys.executable, script] + args, cwd=REPO, env=env, text=True,
                 stdout=lf, stderr=subprocess.STDOUT,
             )
-            deadline = time.time() + timeout
+            attempt_start = time.time()
             stuck = False
             while True:
                 try:
@@ -88,11 +97,11 @@ def run_cli(script, args, tpu=False, timeout=3600, dial_timeout=300):
                     p.kill()
                     p.wait()
                     raise SystemExit(f"{script} timed out ({timeout}s)")
-                started = time.time() - deadline + timeout
+                started = time.time() - attempt_start
                 if tpu and started > dial_timeout and not stuck:
                     out = open(log_path).read()
                     progressed = any(
-                        line and not line.startswith(("WARNING", "I0000"))
+                        line.startswith(sentinels)
                         for line in out.splitlines()
                     )
                     if not progressed:

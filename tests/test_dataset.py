@@ -190,6 +190,22 @@ class TestTrainDataset:
             )[1]["query_image"],
         )
 
+    def test_warp_all_without_adapt_warps_undoubled(self, object_dir):
+        """image_warp_all alone must not be a silent no-op (advisor round-4):
+        without image_warp_adapt it warps every sample, with no doubling."""
+        records, *_ = object_dir
+        plain = OnePosePlusTrainDataset(records, img_size=128, shape3d=64)
+        wa = OnePosePlusTrainDataset(
+            records, img_size=128, shape3d=64, image_warp_all=True
+        )
+        assert len(wa) == len(plain)  # no doubling without warp_adapt
+        wa.set_epoch(0)
+        e0 = wa[0]["query_image"]
+        assert not np.allclose(e0, plain[0]["query_image"])  # warped
+        wa.set_epoch(1)
+        assert not np.allclose(e0, wa[0]["query_image"])  # epoch-fresh
+        assert (wa[0]["gt_cell"] >= 0).sum() > 10  # supervision survives
+
     def test_loader_batches(self, object_dir):
         records, *_ = object_dir
         ds = OnePosePlusTrainDataset(records, img_size=128, shape3d=32)
