@@ -53,6 +53,10 @@ class SfMConfig:
     box_padding_ratio: float = 0.0
     solver_type: str = "lm"  # 'lm' (DeepLM-equiv) | 'first_order'
     overwrite: bool = False
+    # visual-debug artifacts (reference filter_tkl.py:59-89
+    # vis_tkl_filtered_pcds + plot_utils.py confidence-colored match plots)
+    save_vis3d: bool = True  # vis3d/*.ply pre/post-filter cloud dumps
+    match_gallery_num: int = 0  # top-N pairs get confidence-colored plots
 
 
 def _load_images(
@@ -127,6 +131,14 @@ def run_sfm(
         raw, sizes = blob["raw"], blob["sizes"]
         images = None
 
+    if cfg.match_gallery_num > 0:
+        if images is None:
+            images, scales, _ = _load_images(image_paths, cfg)
+        save_match_gallery(
+            raw, images, scales, os.path.join(out_dir, "vis3d", "matches"),
+            names, top_n=cfg.match_gallery_num,
+        )
+
     # ---- stage 2: merge + verify + triangulate (cached as model_coarse)
     if cfg.overwrite or not os.path.exists(
         os.path.join(model_coarse_dir, "cameras.bin")
@@ -170,6 +182,10 @@ def run_sfm(
         cameras, imgs, points3d = read_model(model_refined_dir)
 
     # ---- stage 4: filtering
+    if cfg.save_vis3d:
+        save_cloud_ply(
+            points3d, os.path.join(out_dir, "vis3d", "point_cloud_pre_filter.ply")
+        )
     if box_corners_3d is not None:
         points3d = filter_by_3d_box(
             imgs, points3d, box_corners_3d, cfg.box_padding_ratio
@@ -178,6 +194,14 @@ def run_sfm(
     points3d = filter_track_length(imgs, points3d, tkl)
     points3d = merge_close_points(imgs, points3d, cfg.merge_dist_threshold)
     write_model(cameras, imgs, points3d, filtered_dir)
+    if cfg.save_vis3d:
+        # post-filter cloud colored by track length (reference
+        # vis_tkl_filtered_pcds, filter_tkl.py:59-89)
+        save_cloud_ply(
+            points3d,
+            os.path.join(out_dir, "vis3d", "point_cloud_post_filter.ply"),
+            color_by_track_length=True,
+        )
 
     # ---- stage 5: feature annotation
     if extract_fn is not None:
@@ -246,6 +270,64 @@ def extract_keypoint_descriptors(
             fine_out[i] = ff[bi, :m]
             coarse_out[i] = fc[bi, :m]
     return fine_out, coarse_out
+
+
+def save_cloud_ply(
+    points3d, path: str, color_by_track_length: bool = False
+) -> None:
+    """Dump a COLMAP point dict as PLY for visual debugging.
+
+    Equivalent of the reference's Wis3D point-cloud dumps
+    (``post_optimization/utils/vis3d.py:1-47``) and the track-length-colored
+    filtered clouds (``filter_tkl.py:59-89`` ``vis_tkl_filtered_pcds``), as
+    portable PLY files instead of a Wis3D server.
+    """
+    from ..utils.visualization import save_ply
+
+    pts = np.array([p.xyz for p in points3d.values()], np.float32).reshape(-1, 3)
+    colors = None
+    if len(pts) and color_by_track_length:
+        tkl = np.array([len(p.image_ids) for p in points3d.values()], np.float64)
+        t = (tkl - tkl.min()) / max(tkl.max() - tkl.min(), 1e-9)
+        # short tracks blue -> long tracks red (no matplotlib dependency)
+        colors = np.stack(
+            [255 * t, 64 * np.ones_like(t), 255 * (1 - t)], axis=1
+        ).astype(np.uint8)
+    elif len(pts):
+        colors = np.array([p.rgb for p in points3d.values()], np.uint8)
+    save_ply(path, pts, colors)
+
+
+def save_match_gallery(
+    raw, images, scales, out_dir: str, names: Dict[int, str], top_n: int = 6
+) -> None:
+    """Confidence-colored match plots for the top-N pairs by match count
+    (reference ``src/utils/plot_utils.py`` make_matching_plot gallery)."""
+    from ..utils.plotting import figure_to_array, plot_image_pair_matches
+
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    ranked = sorted(raw, key=lambda pm: -len(pm.conf))[:top_n]
+    for pm in ranked:
+        i, j = pm.pair
+        # PairMatches coords are original-image pixels; images are net-scale
+        p0 = pm.pts0 / np.asarray(scales[i])[None, :]
+        p1 = pm.pts1 / np.asarray(scales[j])[None, :]
+        conf = pm.conf
+        cmax = float(conf.max()) if len(conf) else 1.0
+        fig = plot_image_pair_matches(
+            images[i], images[j], p0, p1, mconf=conf / max(cmax, 1e-9)
+        )
+        arr = figure_to_array(fig)
+        n0 = os.path.splitext(names.get(i, str(i)))[0]
+        n1 = os.path.splitext(names.get(j, str(j)))[0]
+        cv2.imwrite(
+            os.path.join(out_dir, f"{n0}_{n1}.png"), arr[..., ::-1]
+        )
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
 
 
 def export_hloc_artifacts(scene, names: Dict[int, str], out_dir: str) -> None:

@@ -126,6 +126,8 @@ def sfm(cfg) -> None:
         merge_dist_threshold=s.merge_dist_threshold,
         solver_type=s.solver_type,
         overwrite=s.overwrite,
+        save_vis3d=bool(s.get("save_vis3d", True)),
+        match_gallery_num=int(s.get("match_gallery_num", 0)),
     )
     # reference uses 1 mapping sequence (sfm yaml); which one is configurable
     map_idx = int(cfg.dataset.get("mapping_seq_index", 0))

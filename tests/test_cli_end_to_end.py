@@ -2,6 +2,7 @@
 run the full SfM CLI (run.py) with a random-weight matcher, then the eval CLI
 (inference.py), then merge.py. Exercises object discovery, stage caching, the
 COLMAP-replacement pipeline, annotation building, and metrics.txt."""
+import glob
 import json
 import os
 import subprocess
@@ -103,6 +104,16 @@ def test_sfm_then_inference_then_merge(tmp_path):
     assert stats["mean_track_length"] >= 2.0, stats
     assert stats["mean_reprojection_error"] < 2.5, stats
     assert stats["num_reg_images"] >= 4, stats
+    # visual-debug postprocess artifacts (reference vis_tkl_filtered_pcds /
+    # plot_utils gallery): pre/post-filter PLY clouds + confidence-colored
+    # match plots, produced by the default preprocess config
+    vis3d = os.path.join(sfm_dir, obj, "vis3d")
+    for ply in ("point_cloud_pre_filter.ply", "point_cloud_post_filter.ply"):
+        p = os.path.join(vis3d, ply)
+        assert os.path.exists(p), f"missing {p}"
+        assert "element vertex" in open(p).read(200)
+    gallery = glob.glob(os.path.join(vis3d, "matches", "*.png"))
+    assert len(gallery) == 6, gallery
 
     # second run must reuse cached stages (no overwrite) and still succeed
     r2 = run_cli(

@@ -1,6 +1,8 @@
 """SfM engine tests on synthetic scenes: pair generation, coarse-match
 merging, track building, and the full known-pose triangulation driver
 (COLMAP-replacement path) with a simulated matcher."""
+import os
+
 import numpy as np
 import pytest
 
@@ -284,3 +286,58 @@ def test_run_pairs_rejects_mixed_shapes():
     scales = {i: np.ones(2, np.float32) for i in (0, 1)}
     with _pytest.raises(ValueError, match="uniform image shapes"):
         run_pairs(lambda a, b: None, images, scales, [(0, 1)], pair_batch=2)
+
+
+class TestVis3dArtifacts:
+    """run.py-postprocess visual-debug artifacts (reference
+    filter_tkl.py:59-89 vis_tkl_filtered_pcds + plot_utils gallery)."""
+
+    def test_cloud_ply_pre_and_post_filter(self, tmp_path):
+        from onepose_plus_plus_tpu.data.colmap_model import Point3D
+        from onepose_plus_plus_tpu.sfm.runner import save_cloud_ply
+
+        rng = np.random.default_rng(0)
+        pts3d = {
+            i: Point3D(
+                id=i,
+                xyz=rng.standard_normal(3),
+                rgb=np.array([10, 20, 30], np.uint8),
+                error=0.1,
+                image_ids=np.arange(2 + i % 5),
+                point2D_idxs=np.arange(2 + i % 5),
+            )
+            for i in range(17)
+        }
+        pre = tmp_path / "vis3d" / "pre.ply"
+        post = tmp_path / "vis3d" / "post.ply"
+        save_cloud_ply(pts3d, str(pre))
+        save_cloud_ply(pts3d, str(post), color_by_track_length=True)
+        for p in (pre, post):
+            txt = p.read_text().splitlines()
+            assert txt[0] == "ply"
+            assert "element vertex 17" in txt
+            assert "property uchar red" in txt
+        # track-length coloring: longest track red-ish, shortest blue-ish
+        rows = post.read_text().splitlines()
+        body = [r.split() for r in rows[rows.index("end_header") + 1 :] if r]
+        tkls = [2 + i % 5 for i in range(17)]
+        longest = body[int(np.argmax(tkls))]
+        shortest = body[int(np.argmin(tkls))]
+        assert int(longest[3]) > int(longest[5])  # red > blue
+        assert int(shortest[5]) > int(shortest[3])  # blue > red
+
+    def test_match_gallery_written(self, tmp_path):
+        from onepose_plus_plus_tpu.sfm.runner import save_match_gallery
+
+        rng = np.random.default_rng(0)
+        K, pts, Ts = make_scene(rng, n_views=3, n_pts=30)
+        raw = simulate_matcher(K, Ts, pts, noise=0.2)
+        images = {i: rng.random((128, 128)).astype(np.float32) for i in range(3)}
+        scales = {i: np.ones(2, np.float32) for i in range(3)}
+        names = {i: f"f{i}.png" for i in range(3)}
+        save_match_gallery(raw, images, scales, str(tmp_path / "m"), names, top_n=2)
+        import glob as _glob
+
+        pngs = _glob.glob(str(tmp_path / "m" / "*.png"))
+        assert len(pngs) == 2
+        assert all(os.path.getsize(p) > 1000 for p in pngs)
