@@ -159,6 +159,7 @@ def inference(cfg) -> None:
                 variables,
                 reproj_threshold_px=cfg.eval_metrics.pnp_reproj_thr,
                 num_hypotheses=cfg.inference.num_hypotheses,
+                p3p_samples=int(cfg.inference.get("p3p_samples", 128)),
             )
         res = run_inference(
             model,

@@ -491,6 +491,7 @@ def _gauss_newton_refine(
         "refine_iters",
         "planar_hypotheses",
         "p3p_hypotheses",
+        "p3p_samples",
         "prescore_subset",
         "rescore_top",
     ),
@@ -507,6 +508,7 @@ def ransac_pnp(
     refine_iters: int = 10,
     planar_hypotheses: bool = True,
     p3p_hypotheses: bool = True,
+    p3p_samples: int = 128,
     min_inliers: int = 4,
     prescore_subset: int = 128,
     rescore_top: int = 64,
@@ -582,9 +584,16 @@ def ransac_pnp(
         # the confidence threshold: a 6-point sample needs ALL 6 clean, a
         # 3-point sample stays clean with prob (1-o)(1-o')(1-o'') — at
         # n=6, 1 outlier that is 1/2 vs 0 clean 6-samples.
+        # P3P is the heaviest per-sample fit (Ferrari quartic + Newton polish
+        # + 4 triad alignments) and yields 4 candidates/sample, so it gets
+        # its OWN (smaller) sample budget: at 40% outliers a clean triad
+        # draws with prob 0.6^3=0.22, so 128 triads miss with prob
+        # (1-0.22)^128 ~ 1e-14 — 512 were pure overhead (round-4 PnP stage:
+        # 36.5 ms/step at batch 48, VERDICT item 3).
+        h3 = min(p3p_samples, num_hypotheses) if p3p_samples else num_hypotheses
         Rp3, tp3 = jax.vmap(_fit_pose_p3p)(
-            samp3d[:, :3], samp2dn[:, :3]
-        )  # [H, 4, 3, 3]
+            samp3d[:h3, :3], samp2dn[:h3, :3]
+        )  # [h3, 4, 3, 3]
         Rh = jnp.concatenate([Rh, Rp3.reshape(-1, 3, 3)], axis=0)
         th = jnp.concatenate([th, tp3.reshape(-1, 3)], axis=0)
 
@@ -646,6 +655,7 @@ def ransac_pnp_batch(
     num_hypotheses: int = 512,
     planar_hypotheses: bool = True,
     p3p_hypotheses: bool = True,
+    p3p_samples: int = 128,
     prescore_subset: int = 128,
     rescore_top: int = 64,
 ) -> PnPResult:
@@ -662,6 +672,7 @@ def ransac_pnp_batch(
             num_hypotheses=num_hypotheses,
             planar_hypotheses=planar_hypotheses,
             p3p_hypotheses=p3p_hypotheses,
+            p3p_samples=p3p_samples,
             prescore_subset=prescore_subset,
             rescore_top=rescore_top,
         )

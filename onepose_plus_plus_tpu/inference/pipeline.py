@@ -44,6 +44,7 @@ def make_query_step(
     conf_threshold: float = 0.0,
     planar_hypotheses: bool = True,
     p3p_hypotheses: bool = True,
+    p3p_samples: int = 128,
     prescore_subset: int = 128,
     rescore_top: int = 64,
 ):
@@ -95,6 +96,7 @@ def make_query_step(
                 num_hypotheses=num_hypotheses,
                 planar_hypotheses=planar_hypotheses,
                 p3p_hypotheses=p3p_hypotheses,
+                p3p_samples=p3p_samples,
                 prescore_subset=prescore_subset,
                 rescore_top=rescore_top,
             )

@@ -469,3 +469,39 @@ class TestLM:
         # reference fallback budget: 1000 Adam steps at lr 3e-2
         x, _ = first_order_solve(res, jnp.zeros(16), (a, b), max_iters=1000)
         assert np.abs(np.asarray(x - b / a)).max() < 1e-2
+
+
+class TestP3PSampleBudget:
+    def test_small_triad_budget_survives_outliers(self):
+        """p3p_samples gives the P3P family its own (smaller) sample budget
+        (round-4 perf: 512 triad solves were the heaviest PnP stage cost; at
+        40% outliers 128 triads still hold a clean sample w.p. ~1-1e-14).
+        The cut budget must still recover the pose in the low-match
+        outlier-heavy regime P3P exists for, and p3p_samples=0 must keep the
+        old all-samples behavior."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(21)
+        n = 16  # few confident matches: the P3P regime
+        K, pts, Ts = make_scene(rng, n_views=2, n_pts=n)
+        T = Ts[0]
+        uv, _ = project_np(K, T, pts)
+        uv += rng.normal(0, 0.3, uv.shape)
+        n_out = 6  # ~40% outliers
+        uv[:n_out] += rng.uniform(30, 80, (n_out, 2))
+        for p3p_samples in (32, 0):
+            res = ransac_pnp(
+                jnp.asarray(pts),
+                jnp.asarray(uv),
+                jnp.asarray(K),
+                jnp.ones(n, bool),
+                jax.random.PRNGKey(3),
+                reproj_threshold_px=3.0,
+                num_hypotheses=128,
+                p3p_samples=p3p_samples,
+            )
+            assert bool(res.ok), p3p_samples
+            dR = np.asarray(res.R) @ T[:3, :3].T
+            ang = np.rad2deg(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+            assert ang < 2.0, (p3p_samples, ang)
