@@ -47,6 +47,13 @@ def main():
     ap.add_argument("--obj", default="0001-toy-box")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument(
+        "--out",
+        default=None,
+        help="write the mapped-vs-held-out diagnosis table as JSON "
+        "(per-frame rows + per-sequence means) — the committable artifact "
+        "form of this report",
+    )
+    ap.add_argument(
         "--tpu",
         action="store_true",
         help="diagnose the PRODUCTION model/checkpoint on the chip (full "
@@ -96,7 +103,9 @@ def main():
     )
     data_dir = os.path.join(args.workdir, "data", args.obj)
 
-    for seq in sorted(glob.glob(os.path.join(data_dir, "toy-*"))):
+    report = {}
+    seq_base = args.obj.split("-", 1)[1].split("-")[0]
+    for seq in sorted(glob.glob(os.path.join(data_dir, f"{seq_base}-*"))):
         recs = frame_records(seq)
         ds = OnePosePlusInferenceDataset(anno_path, recs, img_size=args.img)
         gen = np.random.default_rng(0)
@@ -122,6 +131,7 @@ def main():
             batch_pc["descriptors3d_coarse"] = jnp.asarray(cc["descriptors3d"])[None]
 
         print(f"\n=== {os.path.basename(seq)} ({len(ds)} frames) ===")
+        report[os.path.basename(seq)] = seq_report = {"frames": []}
         stride = 8
         s_grid = args.img // stride
         agg = dict(nm=[], prec=[], reproj=[], R=[], t=[], inl=[])
@@ -185,19 +195,60 @@ def main():
             agg["R"].append(float(R_err[0]))
             agg["t"].append(float(t_err[0]))
             agg["inl"].append(int(res.num_inliers))
+            seq_report["frames"].append(
+                {
+                    "frame": fi,
+                    "matches": nm,
+                    "mean_conf": float(conf[mask].mean()) if nm else 0.0,
+                    "frac_real_points": freal,
+                    "cell_precision": prec,
+                    "reproj_px": reproj,
+                    "pnp_inliers": int(res.num_inliers),
+                    "R_err_deg": float(R_err[0]),
+                    "t_err_cm": float(t_err[0]),
+                }
+            )
             print(
                 f"  f{fi:02d}: matches={nm:4d} conf={conf[mask].mean() if nm else 0:.3f} "
                 f"real={freal:.2f} prec={prec:.2f} reproj={reproj:6.1f}px "
                 f"PnP inl={int(res.num_inliers):4d} R={float(R_err[0]):7.2f}deg "
                 f"t={float(t_err[0]):7.2f}cm"
             )
+        seq_report["mean"] = {
+            "matches": float(np.mean(agg["nm"])),
+            "frac_real_points": float(np.mean(agg["freal"])),
+            "cell_precision": float(np.mean(agg["prec"])),
+            "reproj_px": float(np.nanmean(agg["reproj"])),
+            "R_err_deg": float(np.mean(agg["R"])),
+            "t_err_cm": float(np.mean(agg["t"])),
+            "five_cm_five_deg": float(
+                np.mean((np.array(agg["R"]) < 5) & (np.array(agg["t"]) < 5))
+            ),
+        }
         print(
             f"  mean: matches={np.mean(agg['nm']):.0f} "
             f"real={np.mean(agg['freal']):.2f} prec={np.mean(agg['prec']):.2f} "
             f"reproj={np.nanmean(agg['reproj']):.1f}px R={np.mean(agg['R']):.1f}deg "
             f"t={np.mean(agg['t']):.1f}cm "
-            f"5cm5deg={np.mean((np.array(agg['R']) < 5) & (np.array(agg['t']) < 5)):.2f}"
+            f"5cm5deg={seq_report['mean']['five_cm_five_deg']:.2f}"
         )
+    if args.out:
+        import json
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as fh:
+            json.dump(
+                {
+                    "workdir": args.workdir,
+                    "img": args.img,
+                    "shape3d": args.shape3d,
+                    "thr": args.thr,
+                    "sequences": report,
+                },
+                fh,
+                indent=1,
+            )
+        print("diagnosis table ->", args.out)
 
 
 if __name__ == "__main__":

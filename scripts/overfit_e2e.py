@@ -29,6 +29,7 @@ import sys
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -100,6 +101,20 @@ def main():
         " (epoch-40 diagnosis: 0.96 mapped vs 0.04 held-out 5cm@5deg)",
     )
     ap.add_argument(
+        "--prep-only",
+        action="store_true",
+        help="stop after run.py+merge.py (populate the workdir for "
+        "scripts/train_parity.py without the training/inference stages)",
+    )
+    ap.add_argument(
+        "--linemod",
+        action="store_true",
+        help="LINEMOD-shaped chain (reference inference_LINEMOD.yaml): 256^2"
+        " crops, sfm_inference_LINEMOD preprocess, ADD(S)-0.1d + proj2D@5px"
+        " metrics against generated CAD plys; object ids include the"
+        " symmetric 0810 (eggbox) to exercise ADD-S",
+    )
+    ap.add_argument(
         "--no-warp-adapt",
         action="store_true",
         help="disable the homography warp doubling (reference image_warp_adapt;"
@@ -109,27 +124,55 @@ def main():
     args = ap.parse_args()
     tpu = args.tpu
     frames = args.frames_per_seq or (24 if tpu else 24)
-    img = args.img or (512 if tpu else 128)
+    img = args.img or (256 if args.linemod else (512 if tpu else 128))
     epochs = args.epochs or (150 if tpu else 200)
     workdir = args.workdir or ("/tmp/overfit_e2e_tpu" if tpu else "/tmp/overfit_e2e")
 
-    obj_names = ["0001-toy-box", "0002-toy-crate", "0003-toy-die"][: args.objects]
+    if args.linemod:
+        # 0810 = eggbox (SYMMETRIC_OBJ_IDS): exercises the ADD-S closest-point
+        # variant; the others take the plain ADD path
+        obj_names = ["0810-eggbox", "0801-ape", "0805-can"][: args.objects]
+    else:
+        obj_names = ["0001-toy-box", "0002-toy-crate", "0003-toy-die"][: args.objects]
     halves = [0.2, 0.15, 0.25]
     data_dir = os.path.join(workdir, "data")
     sfm_dir = os.path.join(workdir, "sfm_outputs")
     out_dir = os.path.join(workdir, "results")
     ckpt_dir = os.path.join(workdir, "ckpts")
     shutil.rmtree(workdir, ignore_errors=True)
+    cad_dir = os.path.join(workdir, "cad_models")
     for oi, obj in enumerate(obj_names):
+        seq_base = obj.split("-", 1)[1].split("-")[0]
         build_object(
             data_dir,
             obj,
-            ("toy-1", "toy-2"),
+            (f"{seq_base}-1", f"{seq_base}-2"),
             frames,
             img,
             np.random.default_rng(oi),
             half=halves[oi % len(halves)],
         )
+        if args.linemod:
+            # CAD model matching the rendered cube (mm units, like BOP
+            # models/): dense samples on the 6 faces -> ascii ply
+            from onepose_plus_plus_tpu.utils.visualization import save_ply
+
+            h_mm = halves[oi % len(halves)] * 1000.0
+            lin = np.linspace(-h_mm, h_mm, 16)
+            u, v = np.meshgrid(lin, lin)
+            u, v = u.ravel(), v.ravel()
+            faces = []
+            for ax in range(3):
+                for sgn in (-h_mm, h_mm):
+                    p = np.zeros((len(u), 3))
+                    p[:, ax] = sgn
+                    p[:, (ax + 1) % 3] = u
+                    p[:, (ax + 2) % 3] = v
+                    faces.append(p)
+            save_ply(
+                os.path.join(cad_dir, f"{obj.split('-')[0]}.ply"),
+                np.concatenate(faces).astype(np.float32),
+            )
 
     # small-model overrides shared by train + inference (checkpoint must
     # load back into the identical architecture); TPU runs the full model
@@ -152,10 +195,11 @@ def main():
     # unsupervised-row junk (25% inlier fraction, round-3 diagnostics)
     thr_ov = f"model.match_coarse.thr={args.eval_thr}"
 
+    sfm_preset = "sfm_inference_LINEMOD" if args.linemod else "sfm_inference_onepose"
     run_cli(
         "run.py",
         [
-            "+preprocess=sfm_inference_onepose",
+            f"+preprocess={sfm_preset}",
             "ids=null",
             f"dataset.data_dir={data_dir}",
             f"dataset.outputs_dir={sfm_dir}",
@@ -179,6 +223,9 @@ def main():
         ],
         tpu=tpu,
     )
+    if args.prep_only:
+        print("prep-only: workdir populated ->", workdir)
+        return
     exp = "overfit"
     chunk = args.train_chunk if args.train_chunk is not None else (40 if tpu else 0)
     done = 0
@@ -215,10 +262,16 @@ def main():
         )
         done = upto
     weights = os.path.join(ckpt_dir, exp, "last")
+    inf_preset = "inference_LINEMOD" if args.linemod else "inference_onepose"
+    cad_ov = (
+        [f"cad.cad_models_dir={cad_dir}", "cad.cad_unit_scale=0.001"]
+        if args.linemod
+        else []
+    )
     run_cli(
         "inference.py",
         [
-            "+experiment=inference_onepose",
+            f"+experiment={inf_preset}",
             "ids=null",
             f"dataset.data_dir={data_dir}",
             f"dataset.sfm_outputs_dir={sfm_dir}",
@@ -231,6 +284,7 @@ def main():
             f"output_dir={out_dir}",
         ]
         + model_ov
+        + cad_ov
         + ([] if tpu else ["inference.num_hypotheses=128"]),
         tpu=tpu,
     )
@@ -238,6 +292,8 @@ def main():
     base = "overfit_e2e_tpu" if tpu else "overfit_e2e"
     if args.objects > 1:
         base = f"multi_object_{'tpu' if tpu else 'cpu'}"
+    if args.linemod:
+        base = f"linemod_{'tpu' if tpu else 'cpu'}"
     art = os.path.join(REPO, "artifacts", base)
     os.makedirs(art, exist_ok=True)
     shutil.copy(os.path.join(out_dir, "metrics.txt"), os.path.join(art, "metrics.txt"))

@@ -189,6 +189,16 @@ def main():
         "exists for bit-comparable torch numerics)",
     )
     ap.add_argument(
+        "--warp-adapt",
+        action="store_true",
+        help="train with epoch-fresh homography warp adaptation on EVERY "
+        "sample (image_warp_adapt + image_warp_all, the overfit chain's "
+        "view-memorization cure): without it the ~23 static toy images are "
+        "memorized via the positional encoding and held-out accuracy stays "
+        "0 (round-4 diagnosis). Both sides consume byte-identical warped "
+        "samples regenerated per epoch",
+    )
+    ap.add_argument(
         "--load-params",
         default=None,
         help="skip training; load params.msgpack saved by a previous run and "
@@ -304,7 +314,8 @@ def main():
         records,
         img_size=args.img,
         shape3d=args.shape3d,
-        image_warp_adapt=False,
+        image_warp_adapt=args.warp_adapt,
+        image_warp_all=args.warp_adapt,
         seed=0,
     )
     print(f"{len(ds)} training samples from {anno}")
@@ -382,11 +393,21 @@ def main():
         params, batch_stats = restored["params"], restored["batch_stats"]
         print(f"loaded params from {args.load_params}; skipping training")
         args.epochs = 0
+    n_last = len(usable)
     for epoch in range(args.epochs):
-        order = order_rng.permutation(len(usable))
+        if args.warp_adapt:
+            # epoch-fresh warps: regenerate every sample (both model sides
+            # then consume byte-identical warped data for this epoch)
+            ds.set_epoch(epoch)
+            ep_samples = [ds[i] for i in range(len(ds))]
+            ep_usable = [t for t in ep_samples if (t["gt_cell"] >= 0).sum() > 0]
+        else:
+            ep_usable = usable
+        n_last = len(ep_usable)
+        order = order_rng.permutation(len(ep_usable))
         ep_t, ep_j = [], []
         for idx in order:
-            s = usable[int(idx)]
+            s = ep_usable[int(idx)]
             if use_torch:
                 sc_t = ref_step(s)
                 curves["torch"].append(sc_t)
@@ -402,7 +423,7 @@ def main():
         t_part = f"torch loss {np.mean(ep_t):.4f} | " if use_torch else ""
         print(
             f"epoch {epoch:3d}: {t_part}jax loss {np.mean(ep_j):.4f} "
-            f"max_conf {np.mean([c['max_conf'] for c in curves['jax'][-len(usable):]]):.3f}"
+            f"max_conf {np.mean([c['max_conf'] for c in curves['jax'][-n_last:]]):.3f}"
             f"  ({time.time() - t0:.0f}s)",
             flush=True,
         )
@@ -583,12 +604,13 @@ def main():
         k: v / nf for k, v in hits.items() if use_torch or k == "jax"
     }
     summary["final_loss"] = {
-        k: float(np.mean([c["loss"] for c in curves[k][-len(usable):]]))
+        k: float(np.mean([c["loss"] for c in curves[k][-n_last:]]))
         for k in curves
         if curves[k]
     }
     summary["config"] = {
         "epochs": args.epochs,
+        "warp_adapt": args.warp_adapt,
         "lr": args.lr,
         "img": args.img,
         "shape3d": args.shape3d,
