@@ -101,6 +101,13 @@ def main():
         " (epoch-40 diagnosis: 0.96 mapped vs 0.04 held-out 5cm@5deg)",
     )
     ap.add_argument(
+        "--artifact-name",
+        default=None,
+        help="override the artifacts/<name> destination (e.g. record a "
+        "reference-warp-semantics control run without clobbering the "
+        "flagship overfit_e2e_tpu artifact)",
+    )
+    ap.add_argument(
         "--prep-only",
         action="store_true",
         help="stop after run.py+merge.py (populate the workdir for "
@@ -294,6 +301,8 @@ def main():
         base = f"multi_object_{'tpu' if tpu else 'cpu'}"
     if args.linemod:
         base = f"linemod_{'tpu' if tpu else 'cpu'}"
+    if args.artifact_name:
+        base = args.artifact_name
     art = os.path.join(REPO, "artifacts", base)
     os.makedirs(art, exist_ok=True)
     shutil.copy(os.path.join(out_dir, "metrics.txt"), os.path.join(art, "metrics.txt"))
@@ -314,6 +323,9 @@ def main():
             "test_seq": "toy-2 (held-out interleaved views)",
         },
         "epochs": epochs,
+        "image_warp_adapt": not args.no_warp_adapt,
+        "image_warp_all": not (args.no_warp_all or args.no_warp_adapt),
+        "linemod": bool(args.linemod),
         "pipeline": ["run.py", "merge.py", "train_onepose_plus.py", "inference.py"],
         "weights": "trained in-loop by this script (no released ckpt exists here)",
     }
