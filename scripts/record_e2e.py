@@ -35,7 +35,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
-def run_cli(script, args, tpu=False, timeout=3600, dial_timeout=300):
+def run_cli(script, args, tpu=False, timeout=3600, dial_timeout=300,
+            stall_timeout=3900):
     env = dict(os.environ)
     if not tpu:
         env["JAX_PLATFORMS"] = "cpu"
@@ -98,6 +99,28 @@ def run_cli(script, args, tpu=False, timeout=3600, dial_timeout=300):
                     p.wait()
                     raise SystemExit(f"{script} timed out ({timeout}s)")
                 started = time.time() - attempt_start
+                # post-sentinel stall watchdog: a TPU child that has written
+                # NOTHING for stall_timeout (beyond any legitimate 20-30 min
+                # server-side compile) is stuck on a dead tunnel — kill and
+                # retry; stages are idempotent/resume-safe so a retry
+                # continues from the last artifact/checkpoint
+                if tpu and not stuck:
+                    try:
+                        quiet = time.time() - os.path.getmtime(log_path)
+                    except OSError:
+                        quiet = 0.0
+                    if quiet > stall_timeout:
+                        stuck = True
+                        print(
+                            f"WATCHDOG: {script} wrote nothing for "
+                            f"{int(quiet)}s (tunnel stall) — retrying "
+                            f"({attempt + 1}/4)",
+                            flush=True,
+                        )
+                        p.kill()
+                        p.wait()
+                        time.sleep(5)
+                        break
                 if tpu and started > dial_timeout and not stuck:
                     out = open(log_path).read()
                     progressed = any(
