@@ -101,6 +101,13 @@ def main():
         " (epoch-40 diagnosis: 0.96 mapped vs 0.04 held-out 5cm@5deg)",
     )
     ap.add_argument(
+        "--keep-workdir",
+        action="store_true",
+        help="reuse an existing workdir after a tunnel-outage kill: data "
+        "rendering is skipped, cached SfM stages are reused (overwrite "
+        "false), and training resumes from the last checkpoint",
+    )
+    ap.add_argument(
         "--artifact-name",
         default=None,
         help="override the artifacts/<name> destination (e.g. record a "
@@ -146,9 +153,12 @@ def main():
     sfm_dir = os.path.join(workdir, "sfm_outputs")
     out_dir = os.path.join(workdir, "results")
     ckpt_dir = os.path.join(workdir, "ckpts")
-    shutil.rmtree(workdir, ignore_errors=True)
+    if not args.keep_workdir:
+        shutil.rmtree(workdir, ignore_errors=True)
     cad_dir = os.path.join(workdir, "cad_models")
     for oi, obj in enumerate(obj_names):
+        if args.keep_workdir and os.path.isdir(os.path.join(data_dir, obj)):
+            continue
         seq_base = obj.split("-", 1)[1].split("-")[0]
         build_object(
             data_dir,
@@ -236,6 +246,7 @@ def main():
     exp = "overfit"
     chunk = args.train_chunk if args.train_chunk is not None else (40 if tpu else 0)
     done = 0
+    have_ckpt = os.path.exists(os.path.join(ckpt_dir, exp, "last"))
     while done < epochs:
         upto = min(done + chunk, epochs) if chunk else epochs
         run_cli(
@@ -259,7 +270,11 @@ def main():
                 # CPU prototype runs hotter to converge inside the wall budget
                 "trainer.milestones=[1000]",
                 *([f"trainer.canonical_lr={lr}"] if lr else []),
-                *(["trainer.resume=true"] if done else []),
+                *(
+                    ["trainer.resume=true"]
+                    if (done or (args.keep_workdir and have_ckpt))
+                    else []
+                ),
                 f"ckpt_dir={ckpt_dir}",
                 f"log_dir={os.path.join(workdir, 'logs')}",
             ]
