@@ -246,7 +246,7 @@ def main():
     exp = "overfit"
     chunk = args.train_chunk if args.train_chunk is not None else (40 if tpu else 0)
     done = 0
-    have_ckpt = os.path.exists(os.path.join(ckpt_dir, exp, "last"))
+    have_ckpt = os.path.exists(os.path.join(ckpt_dir, exp, "last_state"))
     while done < epochs:
         upto = min(done + chunk, epochs) if chunk else epochs
         run_cli(

@@ -153,11 +153,22 @@ def train(cfg) -> None:
             if isinstance(resume, str)
             else os.path.join(ckpt_dir, "last_state")
         )
-        state, start_epoch = restore_train_state(resume_path, state)
-        print(
-            f"resumed from {resume_path}: epoch {start_epoch}, "
-            f"step {int(state.step)}"
-        )
+        if isinstance(resume, str) or os.path.exists(resume_path):
+            state, start_epoch = restore_train_state(resume_path, state)
+            print(
+                f"resumed from {resume_path}: epoch {start_epoch}, "
+                f"step {int(state.step)}"
+            )
+        else:
+            # a kill mid-save leaves only last_state.orbax-checkpoint-tmp
+            # (orbax writes are atomic: the final name appears on success) —
+            # resume=true with no complete state trains from scratch instead
+            # of crashing the chain
+            print(
+                f"resume requested but {resume_path} not found "
+                "(interrupted save?) — training from scratch",
+                flush=True,
+            )
 
     mesh = make_mesh(devices)
     step_fn = jax.jit(functools.partial(train_step, model, train_cfg=train_cfg))
