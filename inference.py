@@ -127,6 +127,12 @@ def inference(cfg) -> None:
     all_R, all_t, per_object = [], [], {}
     step = None  # shared compiled match+PnP step across objects
 
+    # per-action host profiler (reference build_profiler registry surface:
+    # none|simple|advanced|chrome); device traces via utils.profiling.trace
+    from onepose_plus_plus_tpu.utils.profiling import build_profiler
+
+    profiler = build_profiler(cfg.get("profiler_name"))
+
     for obj_name, seqs, anno_path in objects:
         # evaluate every selected test sequence, pooled per object
         # (reference data_dirs = "obj_dir seq1 seq2 ...", inference.py:75-78)
@@ -161,18 +167,19 @@ def inference(cfg) -> None:
                 num_hypotheses=cfg.inference.num_hypotheses,
                 p3p_samples=int(cfg.inference.get("p3p_samples", 128)),
             )
-        res = run_inference(
-            model,
-            variables,
-            ds.frames(),
-            ds.annotation,
-            shape3d=cfg.dataset.shape3d,
-            frame_batch=cfg.inference.frame_batch,
-            reproj_threshold_px=cfg.eval_metrics.pnp_reproj_thr,
-            num_hypotheses=cfg.inference.num_hypotheses,
-            pose_thresholds=tuple(cfg.eval_metrics.pose_thresholds),
-            step=step,
-        )
+        with profiler.record(f"inference/{obj_name}"):
+            res = run_inference(
+                model,
+                variables,
+                ds.frames(),
+                ds.annotation,
+                shape3d=cfg.dataset.shape3d,
+                frame_batch=cfg.inference.frame_batch,
+                reproj_threshold_px=cfg.eval_metrics.pnp_reproj_thr,
+                num_hypotheses=cfg.inference.num_hypotheses,
+                pose_thresholds=tuple(cfg.eval_metrics.pose_thresholds),
+                step=step,
+            )
         # ADD(S)-0.1d + proj2D metrics against a CAD model (LINEMOD path,
         # reference inference_LINEMOD.yaml: eval_ADD_metric)
         if cfg.get_path("eval_metrics.eval_ADD_metric") and res.R_errs is not None:
@@ -266,6 +273,9 @@ def inference(cfg) -> None:
             f.write(f"{k}: {float(np.mean(vs))}\n")
         f.write(f"ALL: {json.dumps(summary)}\n")
     print("ALL:", summary)
+    ps = profiler.summary()
+    if ps:
+        print(ps)
 
 
 def main() -> None:

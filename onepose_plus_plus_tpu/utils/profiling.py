@@ -65,12 +65,101 @@ class SimpleProfiler(PassThroughProfiler):
         return "\n".join(lines)
 
 
+class AdvancedProfiler(SimpleProfiler):
+    """Per-action cProfile aggregation (reference AdvancedProfiler,
+    ``src/utils/profiler.py:196-254``): every ``record(name)`` region runs
+    under its own ``cProfile.Profile``, and :meth:`summary` appends the
+    top host-side functions per action to the wall-time table."""
+
+    def __init__(self, top_n: int = 10):
+        super().__init__()
+        import cProfile
+
+        self._cProfile = cProfile
+        self.top_n = top_n
+        self.profilers: Dict[str, "cProfile.Profile"] = {}
+
+    @contextlib.contextmanager
+    def record(self, name: str) -> Iterator[None]:
+        prof = self.profilers.get(name)
+        if prof is None:
+            prof = self.profilers[name] = self._cProfile.Profile()
+        prof.enable()
+        try:
+            with super().record(name):
+                yield
+        finally:
+            prof.disable()
+
+    def summary(self) -> str:
+        import io
+        import pstats
+
+        out = [super().summary()]
+        for name, prof in self.profilers.items():
+            buf = io.StringIO()
+            stats = pstats.Stats(prof, stream=buf)
+            stats.strip_dirs().sort_stats("cumulative").print_stats(self.top_n)
+            out.append(f"\n--- {name} (top {self.top_n} by cumulative) ---")
+            out.append(buf.getvalue().rstrip())
+        return "\n".join(out)
+
+    def dump(self, path_prefix: str) -> None:
+        """Write one .pstats file per action (loadable with pstats/snakeviz)."""
+        for name, prof in self.profilers.items():
+            safe = name.replace("/", "_").replace(" ", "_")
+            prof.dump_stats(f"{path_prefix}.{safe}.pstats")
+
+
+class ChromeTraceProfiler(SimpleProfiler):
+    """Records every action occurrence as a Catapult/Perfetto event
+    (``chrome://tracing`` JSON) — the host-side analogue of the reference's
+    PyTorch chrome-trace export (``src/utils/profiler.py:256-542``); device
+    work is covered by :func:`trace` (jax.profiler)."""
+
+    def __init__(self):
+        super().__init__()
+        self.events = []
+
+    @contextlib.contextmanager
+    def record(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            with super().record(name):
+                yield
+        finally:
+            self.events.append(
+                {
+                    "name": name,
+                    "ph": "X",
+                    "ts": t0 * 1e6,
+                    "dur": (time.perf_counter() - t0) * 1e6,
+                    "pid": 0,
+                    "tid": 0,
+                }
+            )
+
+    def export_chrome_trace(self, path: str) -> None:
+        import json as _json
+        import os as _os
+
+        _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            _json.dump({"traceEvents": self.events}, f)
+
+
 def build_profiler(name: Optional[str]) -> PassThroughProfiler:
     """Registry mirroring the reference ``build_profiler`` names."""
     if name in (None, "none", "pass_through"):
         return PassThroughProfiler()
     if name in ("inference", "simple"):
         return SimpleProfiler()
+    if name == "advanced":
+        return AdvancedProfiler()
+    if name in ("chrome", "pytorch"):
+        # "pytorch" is the reference registry name for its chrome-trace
+        # profiler; host-side equivalent here
+        return ChromeTraceProfiler()
     raise ValueError(f"unknown profiler {name!r}")
 
 

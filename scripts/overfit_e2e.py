@@ -334,8 +334,8 @@ def main():
             "objects": obj_names,
             "frames_per_seq": frames,
             "img": img,
-            "train_seq": "toy-1",
-            "test_seq": "toy-2 (held-out interleaved views)",
+            "train_seq": "<obj>-1",
+            "test_seq": "<obj>-2 (held-out interleaved views)",
         },
         "epochs": epochs,
         "image_warp_adapt": not args.no_warp_adapt,

@@ -76,6 +76,42 @@ class TestProfiler:
         with pytest.raises(ValueError):
             build_profiler("wat")
 
+    def test_advanced_profiler_per_action_stats(self, tmp_path):
+        """Reference AdvancedProfiler parity (profiler.py:196-254): each
+        action gets its own cProfile aggregation in the summary + a
+        dumpable .pstats file."""
+        p = build_profiler("advanced")
+        with p.record("pnp"):
+            sum(range(1000))
+        with p.record("pnp"):
+            sorted([3, 1, 2])
+        with p.record("match"):
+            pass
+        s = p.summary()
+        assert "pnp" in s and "match" in s
+        assert "cumulative" in s  # per-action pstats sections present
+        p.dump(str(tmp_path / "prof"))
+        import glob as _glob
+
+        assert len(_glob.glob(str(tmp_path / "prof.*.pstats"))) == 2
+
+    def test_chrome_trace_profiler_export(self, tmp_path):
+        """Chrome-trace (catapult JSON) export of recorded actions — the
+        host-side analogue of the reference PyTorch chrome-trace profiler."""
+        import json
+
+        p = build_profiler("chrome")
+        with p.record("stage_a"):
+            pass
+        with p.record("stage_b"):
+            pass
+        out = tmp_path / "trace.json"
+        p.export_chrome_trace(str(out))
+        blob = json.load(open(out))
+        names = {e["name"] for e in blob["traceEvents"]}
+        assert names == {"stage_a", "stage_b"}
+        assert all(e["ph"] == "X" and e["dur"] >= 0 for e in blob["traceEvents"])
+
 
 class TestOrbax:
     def test_roundtrip(self, tmp_path):
