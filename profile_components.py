@@ -313,6 +313,44 @@ def main():
         print(f"{NAME}: {bench(f, feat_f, j_ids, i_ids, desc3d)*1e3:.1f} ms")
         return
 
+    if NAME in ("pnponly", "pnponly_full"):
+        # Isolated RANSAC-PnP stage at the production inference shape
+        # ([B, 512] correspondences, 20% outliers): verifies the p3p_samples
+        # budget cut (round-4: 36.5 ms/step at batch 48 with all families at
+        # full H; target <= 15 ms). "pnponly_full" runs the legacy
+        # p3p_samples=0 (all 512 samples through P3P) for the A/B.
+        from onepose_plus_plus_tpu.geometry.pnp import ransac_pnp_batch
+
+        N = 512
+        K3 = np.tile(np.eye(3, dtype=np.float32) * 500.0, (BATCH, 1, 1))
+        K3[:, 0, 2] = K3[:, 1, 2] = 256.0
+        pts3d = rng.standard_normal((BATCH, N, 3)).astype(np.float32)
+        Rgt = np.eye(3, dtype=np.float32)
+        tgt = np.array([0, 0, 4.0], np.float32)
+        cam = pts3d @ Rgt.T + tgt
+        uv = cam @ np.transpose(K3, (0, 2, 1))
+        uv = uv[..., :2] / np.clip(uv[..., 2:3], 1e-6, None)
+        out_mask = rng.random((BATCH, N)) < 0.2
+        uv = np.where(out_mask[..., None], uv + rng.uniform(30, 90, uv.shape), uv)
+        p3 = jnp.asarray(pts3d)
+        p2 = jnp.asarray(uv.astype(np.float32))
+        Kd = jnp.asarray(K3)
+        valid = jnp.asarray(np.ones((BATCH, N), bool))
+        p3p_s = 0 if NAME == "pnponly_full" else 128
+
+        @jax.jit
+        def f(a, k):
+            res = ransac_pnp_batch(
+                a + k * 1e-9, p2, Kd, valid,
+                jax.random.fold_in(jax.random.PRNGKey(0), k.astype(jnp.int32)),
+                num_hypotheses=512, p3p_samples=p3p_s,
+            )
+            return res.t, res.num_inliers
+
+        t = bench(f, p3)
+        print(f"{NAME} (p3p_samples={p3p_s}): {t*1e3:.1f} ms")
+        return
+
     if NAME in ("fineenc_xla", "fineenc_fused"):
         import dataclasses as dc
 
