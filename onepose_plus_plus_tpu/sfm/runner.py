@@ -203,7 +203,16 @@ def run_sfm(
             color_by_track_length=True,
         )
 
-    # ---- stage 5: feature annotation
+    # ---- stage 5: feature annotation (cached as anno/ — idempotent like
+    # stages 1-3, so a watchdog-killed rerun doesn't redo on-device
+    # descriptor extraction)
+    anno_done = os.path.exists(os.path.join(anno_dir, "anno_3d_average.npz"))
+    if not cfg.overwrite and anno_done:
+        stats = model_stats(cameras, imgs, points3d)
+        stats["min_track_length"] = tkl
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        return stats
     if extract_fn is not None:
         if images is None:
             images, _, _ = _load_images(image_paths, cfg)
