@@ -22,6 +22,14 @@ class ResNetFPNConfig:
     # vs 83.6 ms bf16: XLA does not hit the 2x int8 MXU path for these convs),
     # so it stays off by default; useful on backends with real s8 conv support.
     quant_int8: bool = False
+    # space-to-depth stem: compute the 7x7/2 single-channel stem conv as an
+    # exactly-equivalent 4x4/1 conv over the 2x2-space-to-depth input
+    # ([H,W,1] -> [H/2,W/2,4]). The direct form gives the MXU a contraction
+    # depth of 49x1 over a 1-channel image (worst-case utilization); the s2d
+    # form has 4 input channels and a 4x4 window. Same `conv1/kernel` param
+    # (7,7,1,C) — the scatter to (4,4,4,C) happens at call time — so
+    # checkpoints are unaffected. Falls back to the direct conv on odd sizes.
+    stem_s2d: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

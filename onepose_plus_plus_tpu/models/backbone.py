@@ -22,6 +22,90 @@ from ..ops.upsample import upsample2x_align_corners
 _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+def _stem_s2d_perm():
+    """[64, 49] 0/1 scatter matrix taking the flat 7x7 single-channel stem
+    kernel to its space-to-depth-equivalent (4, 4, 4) form.
+
+    With ``y[oi,oj] = sum_{u,v} K[u,v] x[2oi+u-3, 2oj+v-3]`` and the 2x2
+    space-to-depth image ``xs[i,j,di*2+dj] = x[2i+di, 2j+dj]``, each tap
+    ``(u,v)`` lands at s2d offset ``off = (u-3-di)//2`` with ``di=(u-3)%2``
+    (and likewise for v), i.e. a 4x4 window at offsets -2..1. The 7x7=49 taps
+    scatter injectively into 4*4*4=64 slots; the rest stay zero.
+    """
+    import numpy as _np
+
+    perm = _np.zeros((64, 49), _np.float32)
+    for u in range(7):
+        di = (u - 3) % 2
+        a = (u - 3 - di) // 2 + 2
+        for v in range(7):
+            dj = (v - 3) % 2
+            b = (v - 3 - dj) // 2 + 2
+            perm[(a * 4 + b) * 4 + (di * 2 + dj), u * 7 + v] = 1.0
+    return perm
+
+
+_STEM_PERM = _stem_s2d_perm()
+
+
+class _StemConv(nn.Module):
+    """7x7/2 stem conv over a 1-channel image, computed space-to-depth.
+
+    The direct form offers the MXU a contraction depth of 49 x 1 channel —
+    worst-case systolic-array utilization. The s2d form (input
+    [H,W,1] -> [H/2,W/2,4], kernel scattered to 4x4x4 via ``_STEM_PERM``)
+    is mathematically identical (modulo float reassociation) with 4x the
+    contraction density. Parameter is the SAME f32 (7,7,1,C) ``kernel`` as
+    the direct conv, so checkpoints are unaffected; falls back to the direct
+    conv for odd sizes, multi-channel inputs, or ``s2d=False``.
+    """
+
+    features: int
+    dtype: object = jnp.float32
+    quant: bool = False
+    s2d: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w = self.param(
+            "kernel", _KAIMING, (7, 7, x.shape[-1], self.features), jnp.float32
+        )
+        n, h, wd, c = x.shape
+        q = self.quant and not train
+        if not (self.s2d and c == 1 and h % 2 == 0 and wd % 2 == 0):
+            if q:
+                return _quant_conv(x, w, 2, 3, self.dtype)
+            dn = lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            return lax.conv_general_dilated(
+                x.astype(self.dtype),
+                w.astype(self.dtype),
+                (2, 2),
+                [(3, 3)] * 2,
+                dimension_numbers=dn,
+            )
+        xs = (
+            x.reshape(n, h // 2, 2, wd // 2, 2)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(n, h // 2, wd // 2, 4)
+        )
+        xs = jnp.pad(xs, ((0, 0), (2, 1), (2, 1), (0, 0)))
+        kp = (jnp.asarray(_STEM_PERM) @ w.reshape(49, self.features)).reshape(
+            4, 4, 4, self.features
+        )
+        if q:
+            return _quant_conv(xs, kp, 1, 0, self.dtype)
+        dn = lax.conv_dimension_numbers(xs.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(
+            xs.astype(self.dtype),
+            kp.astype(self.dtype),
+            (1, 1),
+            [(0, 0)] * 2,
+            dimension_numbers=dn,
+        )
+
+
 def _quant_conv(x, w, stride: int, pad: int, out_dtype) -> jnp.ndarray:
     """Dynamically-quantized int8 conv (inference only).
 
@@ -266,8 +350,12 @@ class ResNetFPN_8_2(nn.Module):
         d0, d1, d2 = self.cfg.block_dims
         dt = self.dtype
         q = self.cfg.quant_int8
-        self.conv1 = _ConvQ(
-            self.cfg.initial_dim, 7, 2, dtype=dt, quant=q, name="conv1"
+        self.conv1 = _StemConv(
+            self.cfg.initial_dim,
+            dtype=dt,
+            quant=q,
+            s2d=self.cfg.stem_s2d,
+            name="conv1",
         )
         self.bn1 = _BN(dtype=dt, name="bn1")
         self.layer1_0 = block(d0, 1, dtype=dt, quant=q, name="layer1_0")
@@ -421,7 +509,9 @@ class ResNetFPN_16_4(nn.Module):
         dt = self.dtype
         x = x.astype(dt)
 
-        x0 = _conv(self.cfg.initial_dim, 7, 2, name="conv1", dtype=dt)(x)
+        x0 = _StemConv(
+            self.cfg.initial_dim, dtype=dt, s2d=self.cfg.stem_s2d, name="conv1"
+        )(x, train)
         x0 = nn.relu(_BN(name="bn1", dtype=dt)(x0, train))  # 1/2
 
         def layer(planes, stride, name, h):
@@ -467,7 +557,9 @@ class ResNet18_C(nn.Module):
         dims = self.cfg.block_dims
         dt = self.dtype
         x = x.astype(dt)
-        x0 = _conv(self.cfg.initial_dim, 7, 2, name="conv1", dtype=dt)(x)
+        x0 = _StemConv(
+            self.cfg.initial_dim, dtype=dt, s2d=self.cfg.stem_s2d, name="conv1"
+        )(x, train)
         x0 = nn.relu(_BN(name="bn1", dtype=dt)(x0, train))
 
         def layer(planes, stride, name, h):

@@ -5,8 +5,9 @@ Round 3 shipped a 7.6x regression in the headline metric (P3P hypotheses ran
 nothing re-measured the fused query step after a hot-path change. This gate
 bands the per-step device+dispatch time of the COMPLETE batched query pipeline
 (model forward + RANSAC-PnP + pose errors, the exact step bench.py times)
-against the value recorded in BASELINE.md, with 1.3x slack for tunnel and
-compiler noise.
+against the value recorded in BASELINE.md, with 1.15x slack (tunnel and
+compiler noise sit within ~5% run-to-run; a 15%+ step-time regression is a
+real hot-path change and must fail loudly).
 
 Round ritual: re-run ``python bench.py`` (and update BASELINE.md +
 REFERENCE_STEP_MS here) after ANY change to the model forward, matching
@@ -34,7 +35,7 @@ pytestmark = [
 # hot-path change (forward / matching / PnP) regressed the headline metric —
 # fix it or re-record BOTH this constant and BASELINE.md with justification.
 REFERENCE_STEP_MS = 241.0  # round-4 measured: bench.py 198.96 poses/sec
-SLACK = 1.3
+SLACK = 1.15
 
 BATCH = 48
 IMG = 512
