@@ -42,6 +42,7 @@ def onepose_config_from_dict(d: Optional[Dict[str, Any]] = None) -> OnePosePlusC
             initial_dim=bb.get("initial_dim", 128),
             block_dims=tuple(bb.get("block_dims", (128, 196, 256))),
             quant_int8=bb.get("quant_int8", False),
+            stem_s2d=bb.get("stem_s2d", True),
         ),
         resolution=resolution,
         pe_temp_bug_fix=co.get("temp_bug_fix", False),
@@ -89,7 +90,8 @@ def loftr_config_from_dict(d: Optional[Dict[str, Any]] = None) -> LoFTRConfig:
     return LoFTRConfig(
         compute_dtype=d.get("compute_dtype", "float32"),
         backbone=ResNetFPNConfig(
-            quant_int8=d.get("backbone", {}).get("quant_int8", False)
+            quant_int8=d.get("backbone", {}).get("quant_int8", False),
+            stem_s2d=d.get("backbone", {}).get("stem_s2d", True),
         ),
         coarse=TransformerConfig(
             d_model=d.get("d_model", 256),
