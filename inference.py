@@ -237,7 +237,7 @@ def inference(cfg) -> None:
                     {
                         "frames": [r.img_file for r in records],
                         "R_errs_deg": np.asarray(res.R_errs).tolist(),
-                        "t_errs_m": np.asarray(res.t_errs).tolist(),
+                        "t_errs_cm": np.asarray(res.t_errs).tolist(),
                         "num_inliers": np.asarray(res.num_inliers).tolist()
                         if res.num_inliers is not None
                         else None,
